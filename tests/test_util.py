@@ -1,0 +1,223 @@
+"""Tests for util: hashing, history, time, geodesy, receivers, cc math."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from xcorr_tpu import util
+from xcorr_tpu.ndlabel import DataArray, Dataset
+from xcorr_tpu.stream import Trace, Stream, Stats, UTCDateTime
+
+
+class TestHasher:
+    def test_hash_obj_stable(self):
+        a = {"b": 1, "a": [1, 2], "sha256_hash": "ignored"}
+        b = {"a": [1, 2], "b": 1}
+        assert util.hash_obj(a) == util.hash_obj(b)
+        assert len(util.hash_obj(a)) == 64
+
+    def test_hash_dataarray_metadata_vs_data(self):
+        da = DataArray(np.arange(4.0), dims=("lag",), name="cc",
+                       attrs={"units": "-"})
+        h_meta = util.hash_DataArray(da, metadata_only=True)
+        da2 = da.copy()
+        da2.data[0] = 99.0
+        assert util.hash_DataArray(da2, metadata_only=True) == h_meta
+        assert util.hash_DataArray(da2, metadata_only=False) != \
+            util.hash_DataArray(da, metadata_only=False)
+        # scale/offset attrs are excluded from hashing
+        da3 = da.copy()
+        da3.attrs["add_offset"] = 5.0
+        assert util.hash_DataArray(da3, metadata_only=True) == h_meta
+
+    def test_hash_dataset_order_independent(self):
+        def mk(order):
+            ds = Dataset()
+            ds.coords["lag"] = np.arange(3.0)
+            for name in order:
+                ds[name] = (("lag",), np.zeros(3))
+            return ds
+
+        assert util.hash_Dataset(mk(["a", "b"])) == \
+            util.hash_Dataset(mk(["b", "a"]))
+
+    def test_hash_trace_and_stream(self):
+        tr = Trace(np.arange(10, dtype=np.float32), Stats(
+            network="IU", station="RAR", location="10", channel="BHZ",
+            starttime="2014-01-01", sampling_rate=20.0))
+        h1 = util.hash_Trace(tr)
+        assert len(h1) == 64
+        tr2 = tr.copy()
+        tr2.data[3] = -1
+        assert util.hash_Trace(tr2) != h1
+        # single-trace stream hash == trace hash (same chained updates,
+        # matching reference xcorr/util/hasher.py:184-215 semantics)
+        assert util.hash_Stream(Stream([tr])) == h1
+        assert util.hash_Stream(Stream([tr, tr2])) != h1
+
+
+class TestHistory:
+    def test_historicize_appends(self):
+        da = DataArray(np.zeros(3), dims=("x",), name="v")
+        util.historicize(da, "taper", {"wtype": "hann", "skipped": None})
+        assert "taper" in da.attrs["history"]
+        util.historicize(da, "filter", {"btype": "highpass"})
+        assert da.attrs["history"].count("xcorr_tpu-") == 2
+
+
+class TestTime:
+    def test_to_seconds(self):
+        td = np.array([1_500_000_000], dtype="timedelta64[ns]")
+        out = util.to_seconds(pd.to_timedelta(td))
+        assert float(out[0]) == 1.5
+        assert util.to_seconds(3.0) == 3.0
+
+    def test_get_dates(self):
+        days = util.get_dates(pd.Timestamp("2014-01-01T06:00"),
+                              pd.Timestamp("2014-01-03T00:00"))
+        assert len(days) == 3
+
+    def test_update_lag_indices(self):
+        n, delta = 100, 0.02
+        lag_full = util.cc.lag(n, delta)
+        imin, imax = 50, 150
+        da = DataArray(lag_full[imin:imax], dims=("lag",), name="lag", attrs={
+            "sampling_rate": 1 / delta, "delta": delta, "npts": n,
+            "index_min": 0, "index_max": 0, "units": "s"})
+        util.update_lag_indices(da)
+        assert da.attrs["index_min"] == imin
+        assert da.attrs["index_max"] == imax
+
+
+class TestGeo:
+    def test_vincenty_known_distance(self):
+        # classic Vincenty test vector: Flinders Peak -> Buninyong
+        lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+        lon1 = 144 + 25 / 60 + 29.52440 / 3600
+        lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+        lon2 = 143 + 55 / 60 + 35.38390 / 3600
+        az12, az21, d = util.geo.inverse(lon1, lat1, lon2, lat2)
+        assert abs(d - 54972.271) < 1e-3  # published value, mm accuracy
+        assert abs(az12 - (-(360 - 306.868)) % 360 % 360) < 360  # sane
+        # meridian degree on WGS84
+        _, _, dm = util.geo.inverse(0, 0, 0, 1)
+        assert abs(dm - 110574.389) < 0.01
+
+    def test_equator_degree(self):
+        _, _, d = util.geo.inverse(0.0, 0.0, 1.0, 0.0)
+        assert abs(d - 111319.49) < 1.0  # 1 deg longitude at equator
+
+    def test_coincident(self):
+        _, _, d = util.geo.inverse(10.0, 10.0, 10.0, 10.0)
+        assert d == 0.0
+
+    def test_aeqd_roundtrip_scale(self):
+        # a point 1 km north of center maps to (0, ~1000)
+        lat0, lon0 = -20.0, 175.0
+        dlat = 1000.0 / 111e3 * (111e3 / 110704.0)  # rough meridian degree
+        x, y = util.geo.aeqd_xy(lon0, lat0 + 1000.0 / 110852.0, lon0, lat0)
+        assert abs(float(x)) < 1.0
+        assert abs(float(y) - 1000.0) < 2.0
+
+
+class TestReceiver:
+    def test_check_receiver(self):
+        assert util.receiver.check_receiver("IU.RAR.10.BHZ")
+        assert not util.receiver.check_receiver("IU.RAR.*.BHZ")
+        assert util.receiver.check_receiver("IU.RAR.*.BHZ",
+                                            allow_wildcards=True)
+        with pytest.raises(ValueError):
+            util.receiver.check_receiver("bad", raise_error=True)
+
+    def test_split_pair_substitution(self):
+        pair = "IM.H03S1..EDH-IU.RAR.10.BHR"
+        plain = util.receiver.split_pair(pair)
+        assert plain == ["IM.H03S1..EDH", "IU.RAR.10.BHR"]
+        sub = util.receiver.split_pair(pair, substitute=True)
+        assert sub == ["IM.H03S1..EDH", "IU.RAR.10.BH1", "IU.RAR.10.BH2",
+                       "IU.RAR.10.BHZ"]
+        nez = util.receiver.split_pair(pair, substitute=True,
+                                       three_components="NEZ")
+        assert "IU.RAR.10.BHN" in nez
+
+    def test_receiver_dict_roundtrip(self):
+        r = "IU.RAR.10.BHZ"
+        d = util.receiver.receiver_to_dict(r)
+        assert d["station"] == "RAR"
+        assert util.receiver.receiver_to_str(d) == r
+
+    def test_pair_distance(self):
+        from xcorr_tpu.stream import Inventory, Channel
+        inv = Inventory([
+            Channel("IM", "H03S1", "", "EDH",
+                    latitude=-33.6, longitude=-78.8),
+            Channel("IU", "RAR", "10", "BHZ",
+                    latitude=-21.2, longitude=-159.8),
+        ])
+        d = util.receiver.get_pair_distance(
+            "IM.H03S1..EDH-IU.RAR.10.BHZ", inv, km=True)
+        assert 7000 < d < 9000  # Juan Fernandez <-> Rarotonga ~ 8300 km
+        # poi-relative mode returns |d1 - d2|
+        poi = {"latitude": -25.0, "longitude": -120.0}
+        dp = util.receiver.get_pair_distance(
+            "IM.H03S1..EDH-IU.RAR.10.BHZ", inv, poi=poi, km=True)
+        assert 0 < dp < d
+
+
+class TestCCHelpers:
+    def test_cc_matches_npcorrelate(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=64)
+        y = rng.normal(size=64)
+        r = util.cc.cc(x, y, normalize=False, unbiased=False)
+        # reference formula: out[n-1+k] = sum_j x[j+k] y[j]
+        # np.correlate(x, y, 'full')[k'] = sum_j x[k'+j-(N-1)] y[j]
+        expected = np.correlate(x, y, "full")
+        np.testing.assert_allclose(r, expected, rtol=1e-9, atol=1e-9)
+
+    def test_cc_normalized_peak(self):
+        x = np.sin(np.linspace(0, 20 * np.pi, 500))
+        r = util.cc.cc(x, x, normalize=True, unbiased=False)
+        assert abs(r[500 - 1] - 1.0) < 1e-9  # zero lag at index n-1
+
+    def test_lag_vector(self):
+        lv = util.cc.lag(5, 0.5)
+        assert lv.size == 9
+        np.testing.assert_allclose(lv, np.arange(-4, 5) * 0.5)
+
+    def test_weight_full_length(self):
+        w = util.cc.weight(5)
+        assert w.size == 9
+        np.testing.assert_allclose(w[4], 1.0)  # zero lag
+        np.testing.assert_allclose(w[0], 5.0 / 1.0)  # lag -(n-1)
+        wc = util.cc.weight(5, clip=2.0)
+        assert wc.max() == 2.0
+
+    def test_shift_extraction(self):
+        rng = np.random.default_rng(0)
+        sig = rng.normal(size=256)
+        shift = 17
+        x = np.roll(sig, shift)  # x[j] = sig[j - shift]: x delayed vs y
+        y = sig
+        s = util.cc.compute_shift(x, y, normalize=True, unbiased=False)
+        # estimator convention r[k] = sum_j x[j+k] y[j]: delayed x peaks at +k
+        assert s == shift
+
+
+class TestConvert:
+    def test_to_trace_roundtrip(self):
+        lag = np.arange(100) * 0.05
+        da = DataArray(np.sin(lag), dims=("lag",), name="cc",
+                       coords={"lag": lag})
+        tr = util.convert.to_trace(da, dim="lag")
+        assert tr.stats.sampling_rate == pytest.approx(20.0)
+        assert tr.stats.npts == 100
+
+    def test_to_stream(self):
+        lag = np.arange(50) * 0.1
+        data = np.random.default_rng(1).normal(size=(3, 50))
+        da = DataArray(data, dims=("pair", "lag"),
+                       coords={"pair": np.array(["A-B", "C-D", "E-F"],
+                                                dtype=object),
+                               "lag": lag}, name="snr")
+        st = util.convert.to_stream(da, dim="lag")
+        assert len(st) == 3
