@@ -1,0 +1,198 @@
+"""Oracle tests: device kernels vs scipy/numpy reference implementations."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sp_signal
+
+from xcorr_tpu import ops
+from xcorr_tpu.util import cc as cc_host
+
+
+class TestNextFastLen:
+    def test_basic(self):
+        assert ops.fft.next_fast_len(1) == 1
+        assert ops.fft.next_fast_len(7) == 8
+        assert ops.fft.next_fast_len(8) == 8
+        assert ops.fft.next_fast_len(17) == 18  # 2*3^2
+
+    def test_canonical_day(self):
+        # canonical padded day-correlation length
+        assert ops.fft.next_fast_len(8_639_999) == 8_640_000
+
+
+class TestCorrelate:
+    def test_matches_host_reference(self):
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(3, 128))
+        y = rng.normal(size=(3, 128))
+        got = np.asarray(ops.cc.correlate(jnp.asarray(x), jnp.asarray(y),
+                                          normalize=True))
+        for i in range(3):
+            want = cc_host.cc(x[i], y[i], normalize=True, unbiased=False)
+            np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-12)
+
+    def test_unnormalized_matches_npcorrelate(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 64))
+        y = rng.normal(size=(1, 64))
+        got = np.asarray(ops.cc.correlate(jnp.asarray(x), jnp.asarray(y),
+                                          normalize=False))[0]
+        want = np.correlate(x[0], y[0], "full")
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("imin,imax", [(0, 127), (64, 100), (10, 64),
+                                           (63, 64), (0, 20), (100, 127)])
+    def test_lag_clipping(self, imin, imax):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(2, 64))
+        y = rng.normal(size=(2, 64))
+        full = np.asarray(ops.cc.correlate(jnp.asarray(x), jnp.asarray(y)))
+        clipped = np.asarray(ops.cc.correlate(
+            jnp.asarray(x), jnp.asarray(y), index_min=imin, index_max=imax))
+        np.testing.assert_allclose(clipped, full[:, imin:imax], rtol=1e-12)
+
+    def test_unbiased_weights_fused(self):
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(1, 32))
+        y = rng.normal(size=(1, 32))
+        got = np.asarray(ops.cc.correlate(
+            jnp.asarray(x), jnp.asarray(y), unbiased=True))[0]
+        want = cc_host.cc(x[0], y[0], normalize=True, unbiased=True)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+    def test_impulse_pair_peak_at_injected_lag(self):
+        n, shift = 512, 37
+        sig = np.random.default_rng(11).normal(size=n)
+        x = np.roll(sig, shift)
+        r = np.asarray(ops.cc.correlate(jnp.asarray(x[None]),
+                                        jnp.asarray(sig[None])))[0]
+        assert int(np.argmax(r)) - (n - 1) == shift
+
+    def test_float32_accuracy(self):
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(1, 4096)).astype(np.float32)
+        y = rng.normal(size=(1, 4096)).astype(np.float32)
+        got = np.asarray(ops.cc.correlate(jnp.asarray(x), jnp.asarray(y)))[0]
+        want = cc_host.cc(x[0].astype(np.float64), y[0].astype(np.float64),
+                          normalize=True, unbiased=False)
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+class TestFilter:
+    @pytest.mark.parametrize("btype,freq", [
+        ("highpass", 3.0), ("lowpass", 8.0), ("bandpass", (2.0, 10.0))])
+    def test_sosfilt_matches_scipy(self, btype, freq):
+        fs = 50.0
+        sos = ops.filter.butter_sos(4, freq, btype, fs)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 2000))
+        got = np.asarray(ops.filter.sosfilt(jnp.asarray(sos),
+                                            jnp.asarray(x)))
+        want = sp_signal.sosfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+    def test_sosfilt_with_zi_matches_scipy(self):
+        fs = 50.0
+        sos = ops.filter.butter_sos(2, 3.0, "highpass", fs)
+        zi = sp_signal.sosfilt_zi(sos)
+        x = np.random.default_rng(2).normal(size=512)
+        want, _ = sp_signal.sosfilt(sos, x, zi=zi)
+        got = np.asarray(ops.filter.sosfilt(
+            jnp.asarray(sos), jnp.asarray(x[None]),
+            zi=jnp.asarray(zi)[:, None, :]))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+    @pytest.mark.parametrize("btype,freq", [
+        ("highpass", 3.0), ("bandpass", (2.0, 10.0))])
+    def test_sosfiltfilt_matches_scipy(self, btype, freq):
+        fs = 50.0
+        sos = ops.filter.butter_sos(2, freq, btype, fs)
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(3, 4000))
+        got = np.asarray(ops.filter.sosfiltfilt(sos, jnp.asarray(x)))
+        want = sp_signal.sosfiltfilt(sos, x, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+class TestTaperDetrend:
+    def test_demean(self):
+        x = np.random.default_rng(0).normal(size=(4, 100)) + 5.0
+        out = np.asarray(ops.detrend.demean(jnp.asarray(x)))
+        np.testing.assert_allclose(out.mean(axis=-1), 0.0, atol=1e-12)
+
+    def test_detrend_linear_matches_scipy(self):
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(2, 500)) + np.linspace(0, 3, 500)
+        got = np.asarray(ops.detrend.detrend_linear(jnp.asarray(x)))
+        want = sp_signal.detrend(x, axis=-1, type="linear")
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+
+    def test_detrend_nan_aware(self):
+        x = np.linspace(0, 5, 200)[None, :].copy()
+        x[0, 10:20] = np.nan
+        got = np.asarray(ops.detrend.detrend_linear(jnp.asarray(x)))
+        valid = ~np.isnan(got[0])
+        np.testing.assert_allclose(got[0][valid], 0.0, atol=1e-10)
+
+    def test_taper_vector_ends(self):
+        t = ops.taper.taper_vector(100, "hann", max_percentage=0.1)
+        assert t[0] == 0.0 and t[-1] == 0.0
+        np.testing.assert_allclose(t[15:85], 1.0)
+
+    def test_taper_max_length_cap(self):
+        t = ops.taper.taper_vector(1000, "cosine", max_percentage=0.5,
+                                   max_length=5.0, sampling_rate=10.0)
+        # capped at 50 samples per side
+        np.testing.assert_allclose(t[50:950], 1.0)
+        assert t[0] == 0.0
+
+
+class TestTimeshift:
+    def test_integer_shift(self):
+        fs = 10.0
+        n = 256
+        x = np.sin(2 * np.pi * 0.5 * np.arange(n) / fs)
+        shifted = np.asarray(ops.timeshift.timeshift(
+            jnp.asarray(x[None]), jnp.asarray([1.0]), delta=1 / fs))[0]
+        # positive delay of 1 s = 10 samples to later times
+        np.testing.assert_allclose(shifted[20:200], x[10:190], atol=1e-6)
+
+    def test_subsample_shift_matches_spectral_oracle(self):
+        # exact parity with the reference formula
+        # (xcorr/signal/timeshift.py:90-96): rfft -> phase ramp -> irfft
+        rng = np.random.default_rng(21)
+        x = rng.normal(size=1000)
+        d = 0.3
+        got = np.asarray(ops.timeshift.timeshift(
+            jnp.asarray(x[None]), jnp.asarray([d]), delta=1.0))[0]
+        nfft = ops.fft.next_fast_len(1000)
+        X = np.fft.rfft(x, nfft)
+        f = np.fft.rfftfreq(nfft, 1.0)
+        want = np.fft.irfft(X * np.exp(-2j * np.pi * f * d), nfft)[:1000]
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_per_row_delays_broadcast(self):
+        x = np.vstack([np.sin(2 * np.pi * 0.01 * np.arange(512))] * 3)
+        delays = np.array([0.0, 5.0, -5.0])
+        out = np.asarray(ops.timeshift.timeshift(
+            jnp.asarray(x), jnp.asarray(delays), delta=1.0))
+        np.testing.assert_allclose(out[0], x[0], atol=1e-9)
+        np.testing.assert_allclose(out[1][50:500], x[1][45:495], atol=1e-6)
+
+
+class TestSpectrogram:
+    def test_matches_scipy_density(self):
+        fs = 50.0
+        x = np.random.default_rng(17).normal(size=2048)
+        win_len, hop, nfft = 125, 25, 500
+        freqs, got = ops.spectrogram.stft_psd(
+            jnp.asarray(x[None]), win_len=win_len, hop=hop, nfft=nfft,
+            window="hann", sampling_rate=fs)
+        f_sp, t_sp, want = sp_signal.spectrogram(
+            x, fs=fs, window="hann", nperseg=win_len,
+            noverlap=win_len - hop, nfft=nfft, detrend=False,
+            scaling="density", mode="psd")
+        np.testing.assert_allclose(freqs, f_sp)
+        np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-7,
+                                   atol=1e-12)

@@ -1,0 +1,122 @@
+r"""
+:mod:`ops.cc` -- Batched frequency-domain cross-correlation
+===========================================================
+
+THE hot kernel (spec: ``xcorr/util/cc.py:22-79``; scale analysis SURVEY.md
+§2.2): normalized cross-correlation of receiver pairs via
+``rfft -> conj-multiply -> irfft`` over a dense leading batch axis.
+
+TPU-first design decisions vs the reference:
+
+* The reference zero-pads to the FFT-hostile odd length 2N-1 and runs one
+  complex FFT per pair-window on the host. Here both inputs pad to the next
+  5-smooth length (:func:`ops.fft.next_fast_len`) and a single *real* FFT
+  handles an entire ``(batch, n)`` block; the lag gather out of the circular
+  buffer is two static slices, so XLA fuses normalize/weights/clip into the
+  irfft epilogue.
+* Normalization by the norm product and the unbiased lag weights are applied
+  on the clipped lag window only (index math identical to the reference's
+  ``index_min``/``index_max`` machinery, ``xcorr/util/time.py:94-108``).
+* Everything is shape-static: one compiled executable per (n, lag-window)
+  config, reused across all pairs/days.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fft import next_fast_len
+
+__all__ = ["correlate", "correlate_fn", "lag_slice_of_circular",
+           "unbiased_weights"]
+
+
+def unbiased_weights(npts: int, index_min: int = None, index_max: int = None,
+                     clip: float = None, dtype=jnp.float32):
+    """Unbiased-estimate weights ``npts/(npts-|k|)`` on the fftshifted lag
+    window [index_min, index_max) of the full 2·npts-1 lag vector."""
+    nn = 2 * npts - 1
+    index_min = 0 if index_min is None else index_min
+    index_max = nn if index_max is None else index_max
+    k = np.arange(index_min, index_max, dtype=np.float64) - (npts - 1)
+    w = npts / (npts - np.abs(k))
+    if clip is not None:
+        w = np.minimum(w, clip)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def lag_slice_of_circular(r, npts: int, nfft: int, index_min: int,
+                          index_max: int):
+    """Gather the fftshift-ordered lag window out of a circular correlation
+    buffer ``r`` of length ``nfft``.
+
+    fftshifted index ``i`` (0..2·npts-2, zero lag at npts-1) lives at
+    circular index ``(i - (npts-1)) mod nfft``; with static bounds this is
+    one or two static slices — no gather, no roll.
+    """
+    z = npts - 1  # zero-lag fftshift position
+    if index_max <= z:  # purely negative lags
+        return r[..., nfft + index_min - z: nfft + index_max - z]
+    if index_min >= z:  # purely non-negative lags
+        return r[..., index_min - z: index_max - z]
+    neg = r[..., nfft + index_min - z:]
+    pos = r[..., : index_max - z]
+    return jnp.concatenate([neg, pos], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("normalize", "index_min", "index_max",
+                                   "unbiased", "nfft", "clip_weight"))
+def correlate(x, y, *, normalize: bool = True, index_min: int = None,
+              index_max: int = None, unbiased: bool = False,
+              nfft: int = None, clip_weight: float = None):
+    """Batched normalized cross-correlation along the last axis.
+
+    Parameters
+    ----------
+    x, y : jnp.ndarray ``(..., n)``
+        Equal-shape input blocks (pairs x windows flattened into the batch).
+    normalize : divide by ``||x||·||y||`` (reference ``util/cc.py:76-78``).
+    index_min, index_max : clipped window into the fftshifted 2n-1 lag
+        vector (defaults: full).
+    unbiased : apply ``n/(n-|k|)`` weights in the same kernel.
+    nfft : FFT length override (>= 2n-1); default next 5-smooth length.
+
+    Returns
+    -------
+    ``(..., index_max-index_min)`` cross-correlation estimate, same dtype
+    as ``x``.
+    """
+    n = x.shape[-1]
+    nn = 2 * n - 1
+    index_min = 0 if index_min is None else index_min
+    index_max = nn if index_max is None else index_max
+    nfft = nfft or next_fast_len(nn)
+
+    X = jnp.fft.rfft(x, n=nfft, axis=-1)
+    Y = jnp.fft.rfft(y, n=nfft, axis=-1)
+    r = jnp.fft.irfft(X * jnp.conj(Y), n=nfft, axis=-1)
+    out = lag_slice_of_circular(r, n, nfft, index_min, index_max)
+
+    if normalize:
+        nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+        denom = nx * ny
+        out = out / jnp.where(denom == 0, 1.0, denom)
+    if unbiased:
+        w = unbiased_weights(n, index_min, index_max, clip=clip_weight,
+                             dtype=out.dtype)
+        out = out * w
+    return out.astype(x.dtype)
+
+
+def correlate_fn(n: int, **kwargs):
+    """Pre-configured correlation kernel for fixed window length ``n``:
+    returns a jitted ``f(x, y) -> ccf`` closure (one executable, reused
+    across the whole batch engine)."""
+    def f(x, y):
+        return correlate(x, y, **kwargs)
+    return jax.jit(f)

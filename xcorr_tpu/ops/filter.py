@@ -1,0 +1,145 @@
+r"""
+:mod:`ops.filter` -- IIR filtering on TPU
+=========================================
+
+Butterworth second-order-section filtering as a *parallel associative scan*
+(spec: ``xcorr/signal/filter.py:27-120`` = scipy ``butter`` +
+``sosfiltfilt``; obspy's single-pass ``sosfilt`` for the stream DSL).
+
+A biquad in transposed direct-form II is the affine state recurrence
+
+    s[t] = A s[t-1] + B x[t],    y[t] = b0 x[t] + s1[t-1]
+
+with A = [[-a1, 1], [-a2, 0]], B = [b1 - a1 b0, b2 - a2 b0]. Affine maps
+compose associatively, so the whole day-long trace filters in
+O(log n) depth via ``jax.lax.associative_scan`` — the TPU answer to a
+recurrence scipy runs sequentially on one core (SURVEY.md §7 hard part 1).
+
+Design on host (tiny): scipy ``butter``/``sosfilt_zi``; application on
+device. ``sosfiltfilt`` reproduces scipy's odd-extension padding and
+x0-scaled initial conditions, matching the scipy oracle to f64 precision.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sp_signal
+
+__all__ = ["butter_sos", "sosfilt", "sosfiltfilt", "filtfilt_design"]
+
+
+def butter_sos(order: int, frequency, btype: str, sampling_rate: float):
+    """Butterworth SOS design (host-side scipy; coefficients are data)."""
+    nyq = 0.5 * sampling_rate
+    wn = np.atleast_1d(np.asarray(frequency, dtype=np.float64)) / nyq
+    wn = wn if wn.size > 1 else wn.item()
+    return sp_signal.butter(order, wn, btype=btype, output="sos")
+
+
+def _biquad_affine_scan(x, b, a, zi=None):
+    """Apply one biquad along the last axis via associative scan.
+
+    x: (..., n); b, a: length-3 coefficient arrays (a[0] == 1).
+    zi: optional (..., 2) initial state (transposed DF-II convention,
+    scipy-compatible).
+    Returns y with the same shape.
+    """
+    b0, b1, b2 = b[0], b[1], b[2]
+    a1, a2 = a[1], a[2]
+    n = x.shape[-1]
+
+    # state transition is constant: s[t] = A s[t-1] + B x[t]
+    # associative elements are affine maps (M, v): s -> M s + v
+    A = jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=x.dtype)
+    B = jnp.array([b1 - a1 * b0, b2 - a2 * b0], dtype=x.dtype)
+
+    v = x[..., None] * B  # (..., n, 2)
+    if zi is not None:
+        # fold the initial state into the first element: s[0] = A zi + B x[0]
+        zi = jnp.broadcast_to(jnp.asarray(zi, x.dtype), x.shape[:-1] + (2,))
+        v0 = v[..., 0, :] + jnp.einsum("ij,...j->...i", A, zi)
+        v = v.at[..., 0, :].set(v0)
+    M = jnp.broadcast_to(A, v.shape[:-1] + (2, 2))
+    taxis = x.ndim - 1  # time axis position in both (..., n, 2) and
+    # (..., n, 2, 2)
+
+    def compose(e1, e2):
+        M1, v1 = e1
+        M2, v2 = e2
+        return (jnp.einsum("...ij,...jk->...ik", M2, M1),
+                jnp.einsum("...ij,...j->...i", M2, v1) + v2)
+
+    _, s = jax.lax.associative_scan(compose, (M, v), axis=taxis)
+    # y[t] = b0 x[t] + s1[t-1]; s1[-1] = zi[0] (or 0)
+    s1_init = (zi[..., :1] if zi is not None
+               else jnp.zeros(x.shape[:-1] + (1,), x.dtype))
+    s1_prev = jnp.concatenate([s1_init, s[..., :-1, 0]], axis=-1)
+    y = b0 * x + s1_prev
+    return y
+
+
+@partial(jax.jit, static_argnames=())
+def sosfilt(sos, x, zi=None):
+    """Cascaded-biquad forward filtering along the last axis.
+
+    sos: (nsections, 6) scipy-layout coefficients. zi: optional
+    (nsections, ..., 2) per-section initial conditions.
+    """
+    sos = jnp.asarray(sos, dtype=x.dtype)
+    nsec = sos.shape[0]
+    y = x
+    for i in range(nsec):
+        b = sos[i, :3]
+        a = sos[i, 3:]
+        zii = None if zi is None else zi[i]
+        y = _biquad_affine_scan(y, b, a, zii)
+    return y
+
+
+def filtfilt_design(sos):
+    """Host-side precomputation for sosfiltfilt: per-section zi templates
+    and the scipy default pad length."""
+    sos = np.asarray(sos, dtype=np.float64)
+    zi = sp_signal.sosfilt_zi(sos)  # (nsec, 2), scaled for unit step
+    # scipy sosfiltfilt default edge padding: 3 x effective taps, crediting
+    # trailing zero coefficients
+    ntaps = 2 * sos.shape[0] + 1
+    ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+    padlen = 3 * int(ntaps)
+    return zi, padlen
+
+
+def sosfiltfilt(sos, x, zi_template=None, padlen: int = None):
+    """Zero-phase forward-backward SOS filtering (scipy ``sosfiltfilt``
+    algorithm: odd extension by ``padlen``, x0-scaled initial conditions,
+    forward pass, reversed pass, trim)."""
+    if zi_template is None or padlen is None:
+        zi_template, padlen_default = filtfilt_design(np.asarray(sos))
+        padlen = padlen_default if padlen is None else padlen
+    n = x.shape[-1]
+    if padlen >= n:
+        raise ValueError(
+            f"padlen ({padlen}) must be less than the signal length ({n})")
+    sos = jnp.asarray(sos, dtype=x.dtype)
+    zi_t = jnp.asarray(zi_template, dtype=x.dtype)  # (nsec, 2)
+
+    # odd extension at both ends
+    left = 2 * x[..., :1] - x[..., 1:padlen + 1][..., ::-1]
+    right = 2 * x[..., -1:] - x[..., -padlen - 1:-1][..., ::-1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+
+    def run(data):
+        # scipy scales every section's zi by the *original* first sample
+        x0 = data[..., :1]  # (..., 1)
+        y = data
+        for i in range(sos.shape[0]):
+            y = _biquad_affine_scan(y, sos[i, :3], sos[i, 3:], zi_t[i] * x0)
+        return y
+
+    fwd = run(ext)
+    bwd = run(fwd[..., ::-1])[..., ::-1]
+    return bwd[..., padlen:padlen + n]
