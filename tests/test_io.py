@@ -1,0 +1,173 @@
+"""Tests for netCDF round-trip, validation, atomic writes, path scheme."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xcorr_tpu import io as xio
+from xcorr_tpu import util
+from xcorr_tpu.ndlabel import DataArray, Dataset
+from xcorr_tpu.stream.process import example_process_dict, hash_operations
+
+
+def make_ccf_dataset(nt=4, nlag=64):
+    """A miniature CCF dataset with the reference schema."""
+    ds = Dataset(attrs={
+        "title": "Cross-correlations - 2014.001",
+        "institution": "Test, dept",
+        "author": "tester - t@t",
+        "source": "synthetic",
+        "history": "Created @ now",
+        "references": "n/a",
+        "comment": "n/a",
+        "Conventions": "CF-1.9",
+        "xcorr_version": "0.1.0",
+        "dependencies_version": "x",
+    })
+    ds.coords["pair"] = np.array(["IM.H03S1..EDH-IU.RAR.10.BHZ"],
+                                 dtype=object)
+    ds.coords["pair"].attrs = {
+        "long_name": "Cross-correlation receiver pair",
+        "units": "-",
+        "preprocess": hash_operations(example_process_dict()),
+    }
+    ds.coords["time"] = pd.date_range("2014-01-01", periods=nt,
+                                      freq="3h").values
+    ds.coords["time"].attrs = {"window_length": 86400.0,
+                               "window_overlap": 0.875, "closed": "left"}
+    lag = np.arange(nlag, dtype=np.float64) * 0.02
+    ds.coords["lag"] = lag
+    ds.coords["lag"].attrs = {
+        "long_name": "Time lag", "units": "s", "sampling_rate": 50.0,
+        "delta": 0.02, "npts": nlag, "index_min": 0, "index_max": nlag,
+        "clip_lag": np.array([0.0, 1.26]),
+    }
+    ds["distance"] = (("pair",), np.array([8300.0]),
+                      {"units": "km"}, {"zlib": True, "complevel": 4})
+    ds["status"] = (("pair", "time"), np.zeros((1, nt), np.int8),
+                    {"valid_range": np.array([-1, 1], np.int8)})
+    ds["cc"] = (("pair", "time", "lag"),
+                np.random.default_rng(0).normal(
+                    size=(1, nt, nlag)).astype(np.float32),
+                {"long_name": "Cross-correlation Estimate", "units": "-",
+                 "add_offset": np.float32(0), "scale_factor": np.float32(1)},
+                {"zlib": True, "complevel": 4, "shuffle": True})
+    ds["status"].values[0, :] = 1
+    ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+        ds, metadata_only=True)
+    return ds
+
+
+class TestNetcdfRoundtrip:
+    def test_roundtrip_types(self, tmp_path):
+        ds = make_ccf_dataset()
+        path = tmp_path / "test.nc"
+        xio.to_netcdf(ds, str(path))
+        back = xio.from_netcdf(str(path))
+        assert back.dims == ds.dims
+        # dtypes restored exactly
+        assert back["cc"].dtype == np.float32
+        assert back["status"].dtype == np.int8
+        assert np.issubdtype(back.coords["time"].dtype, np.datetime64)
+        assert back.coords["pair"].dtype == object
+        assert back.coords["pair"].values[0] == ds.coords["pair"].values[0]
+        np.testing.assert_array_equal(back["cc"].values, ds["cc"].values)
+        # numeric attrs preserved
+        assert back.coords["lag"].attrs["sampling_rate"] == 50.0
+        np.testing.assert_array_equal(
+            back.coords["lag"].attrs["clip_lag"], [0.0, 1.26])
+
+    def test_metadata_hash_survives_roundtrip(self, tmp_path):
+        """THE invariant: hash computed before write == hash recomputed
+        after read (with preprocess JSON->dict restore)."""
+        ds = make_ccf_dataset()
+        path = tmp_path / "h.nc"
+        xio.write(ds, str(path), verb=0, hash_data=True)
+        back = xio.from_netcdf(str(path))
+        from xcorr_tpu.io.utils import preprocess_operations_to_dict
+        preprocess_operations_to_dict(back.coords["pair"])
+        recomputed = util.hasher.hash_Dataset(back, metadata_only=True)
+        assert recomputed == back.attrs["sha256_hash_metadata"]
+        full = util.hasher.hash_Dataset(back, metadata_only=False)
+        assert full == back.attrs["sha256_hash"]
+
+
+class TestWriteRead:
+    def test_write_read_validate(self, tmp_path):
+        ds = make_ccf_dataset()
+        path = str(tmp_path / "v.nc")
+        out = xio.write(ds, path, verb=0)
+        assert out == os.path.abspath(path)
+        back = xio.read(path, verb=1)
+        assert back is not None
+        # preprocess attr restored to dict
+        assert isinstance(back.coords["pair"].attrs["preprocess"], dict)
+        np.testing.assert_allclose(back["cc"].values, ds["cc"].values)
+
+    def test_refuses_empty_status(self, tmp_path):
+        ds = make_ccf_dataset()
+        ds["status"].values[:] = 0
+        ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+            ds, metadata_only=True)
+        path = str(tmp_path / "e.nc")
+        assert xio.write(ds, path, verb=0) is None
+        assert not os.path.exists(path)
+        assert xio.write(ds, path, verb=0, force_write=True) is not None
+
+    def test_validate_rejects_tamper(self, tmp_path):
+        ds = make_ccf_dataset()
+        path = str(tmp_path / "t.nc")
+        xio.write(ds, path, verb=0)
+        back = xio.from_netcdf(path)
+        back.coords["lag"].attrs["sampling_rate"] = 999.0  # tamper
+        assert xio.validate(back) is None
+
+    def test_read_extract_masks(self, tmp_path):
+        ds = make_ccf_dataset()
+        ds["status"].values[0, 2] = -1
+        ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+            ds, metadata_only=True)
+        path = str(tmp_path / "m.nc")
+        xio.write(ds, path, verb=0)
+        back = xio.read(path, extract=True)
+        assert np.isnan(back["cc"].values[0, 2]).all()
+        assert not np.isnan(back["cc"].values[0, 0]).any()
+
+    def test_mfread_combines(self, tmp_path):
+        paths = []
+        for day in (1, 2):
+            ds = make_ccf_dataset()
+            t = pd.date_range(f"2014-01-0{day}", periods=4, freq="3h").values
+            ds.coords["time"].data = t
+            ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+                ds, metadata_only=True)
+            p = str(tmp_path / f"d{day}.nc")
+            xio.write(ds, p, verb=0)
+            paths.append(p)
+        merged = xio.mfread(paths)
+        assert merged.dims["time"] == 8
+
+    def test_validate_list_glob_and_template(self, tmp_path):
+        for day in (1, 2, 3):
+            ds = make_ccf_dataset()
+            t = pd.date_range(f"2014-01-0{day}", periods=4, freq="3h").values
+            ds.coords["time"].data = t
+            ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+                ds, metadata_only=True)
+            xio.write(ds, str(tmp_path / f"g{day}.nc"), verb=0)
+        got = xio.validate_list(str(tmp_path / "g*.nc"), paths_only=True,
+                                parallel=True)
+        assert len(got) == 3
+
+
+class TestNcfile:
+    def test_path_scheme(self):
+        p = xio.ncfile("IM.H03S1..EDH-IU.RAR.10.BHZ",
+                       pd.Timestamp("2014-02-03"), root="/data/cc")
+        assert p == ("/data/cc/2014/IM.H03S1..EDH-IU.RAR.10.BHZ/"
+                     "IM.H03S1..EDH-IU.RAR.10.BHZ.2014.034.nc")
+
+    def test_rejects_bad_receiver(self):
+        with pytest.raises(ValueError):
+            xio.ncfile("bad-pair", pd.Timestamp("2014-01-01"), root="/x")

@@ -61,7 +61,8 @@ def _concat_dataarrays(objs, dim):
 def _concat_datasets(objs, dim):
     first = objs[0]
     out = Dataset(attrs=dict(first.attrs))
-    out.encoding = {k: dict(v) for k, v in first.encoding.items()}
+    out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in first.encoding.items()}
     for k, c in first._coords.items():
         if dim in c.dims:
             cax = c.dims.index(dim)
@@ -103,7 +104,7 @@ def merge(objs, combine_attrs="override"):
             if k not in out._vars:
                 out._vars[k] = v
         for k, e in o.encoding.items():
-            out.encoding.setdefault(k, dict(e))
+            out.encoding.setdefault(k, dict(e) if isinstance(e, dict) else e)
     return out
 
 
@@ -136,7 +137,8 @@ def combine_by_coords(datasets, data_vars="minimal", join="outer",
     unions = {k: _union_coord(v) for k, v in dim_coords.items()}
 
     out = Dataset(attrs=dict(first.attrs))
-    out.encoding = {k: dict(v) for k, v in first.encoding.items()}
+    out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in first.encoding.items()}
     for k, c in first._coords.items():
         if k in unions:
             out._coords[k] = DataArray(unions[k], dims=(k,), name=k,

@@ -136,7 +136,8 @@ class Dataset:
         out = Dataset(attrs=dict(self.attrs))
         out._coords = {k: v.copy(deep=deep) for k, v in self._coords.items()}
         out._vars = {k: v.copy(deep=deep) for k, v in self._vars.items()}
-        out.encoding = {k: dict(v) for k, v in self.encoding.items()}
+        out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in self.encoding.items()}
         return out
 
     def drop_vars(self, names):
@@ -159,14 +160,16 @@ class Dataset:
             for k, v in self._vars.items()}
         for k, v in out._vars.items():
             v.name = k
-        out.encoding = {renames.get(k, k): dict(v)
+        out.encoding = {renames.get(k, k): (dict(v) if isinstance(v, dict)
+                                            else v)
                         for k, v in self.encoding.items()}
         return out
 
     def isel(self, indexers=None, **kw):
         indexers = dict(indexers or {}, **kw)
         out = Dataset(attrs=dict(self.attrs))
-        out.encoding = {k: dict(v) for k, v in self.encoding.items()}
+        out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
+                        for k, v in self.encoding.items()}
         for k, v in self._coords.items():
             sub = {d: i for d, i in indexers.items() if d in v.dims}
             out._coords[k] = v.isel(sub) if sub else v
