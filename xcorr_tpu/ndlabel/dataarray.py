@@ -378,10 +378,13 @@ class DataArray:
         return self._reduce(lambda x, **k: np.sum(~np.isnan(x), **k), dim)
 
     def argmax(self, dim=None):
+        vals = self.data
+        if np.issubdtype(vals.dtype, np.floating):
+            vals = np.where(np.isnan(vals), -np.inf, vals)  # skipna
         if dim is None:
-            return DataArray(np.argmax(self.data), dims=())
+            return DataArray(np.argmax(vals), dims=())
         axis = self.dims.index(dim)
-        data = np.argmax(self.data, axis=axis)
+        data = np.argmax(vals, axis=axis)
         out_dims = tuple(d for d in self.dims if d != dim)
         out = DataArray(data, dims=out_dims, name=self.name)
         for k, c in self._coords.items():
