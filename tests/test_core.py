@@ -1,0 +1,232 @@
+"""End-to-end core-engine tests: init -> process -> write -> read ->
+postprocess, with the synthetic client and the lazy batch driver."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import xcorr_tpu
+from xcorr_tpu import util
+from xcorr_tpu.stream import Channel, Inventory, SyntheticClient
+
+FS = 5.0  # low rate keeps tests fast; window 1h
+WINDOW = 3600.0
+
+PREPROCESS = {
+    "EDH": [
+        ("detrend", {"type": "demean"}),
+        ("filter", {"type": "bandpass", "freqmin": 0.3, "freqmax": 2.0}),
+        ("detrend", {"type": "demean"}),
+        ("taper", {"type": "cosine", "max_percentage": 0.05,
+                   "max_length": 30.0}),
+    ],
+    "BHZ": [
+        ("detrend", {"type": "demean"}),
+        ("filter", {"type": "bandpass", "freqmin": 0.3, "freqmax": 2.0}),
+        ("detrend", {"type": "demean"}),
+        ("taper", {"type": "cosine", "max_percentage": 0.05,
+                   "max_length": 30.0}),
+    ],
+}
+
+ATTRS = {"institution": "Test, dept", "author": "pytest - t@t",
+         "source": "synthetic"}
+
+PAIR = "IM.H03S1..EDH-IU.RAR.10.BHZ"
+DELAY = 4.0  # seconds injected between the two receivers
+
+
+def make_client(**kw):
+    return SyntheticClient(
+        sampling_rate=FS,
+        delays={"IM.H03S1..EDH": 0.0, "IU.RAR.10.BHZ": DELAY},
+        source_period=600.0, source_amplitude=20.0, **kw)
+
+
+def make_inventory():
+    return Inventory([
+        Channel("IM", "H03S1", "", "EDH", latitude=-33.6, longitude=-78.8),
+        Channel("IU", "RAR", "10", "BHZ", latitude=-21.2, longitude=-159.8),
+    ])
+
+
+def init_ds(**kw):
+    args = dict(
+        pair=PAIR,
+        starttime=pd.Timestamp("2014-01-01"),
+        endtime=pd.Timestamp("2014-01-02"),
+        preprocess=PREPROCESS,
+        attrs=ATTRS,
+        sampling_rate=FS,
+        window_length=WINDOW,
+        window_overlap=0.5,
+        clip_lag=(-100.0, 100.0),
+        inventory=make_inventory(),
+    )
+    args.update(kw)
+    return xcorr_tpu.init(**args)
+
+
+class TestInit:
+    def test_schema(self):
+        ds = init_ds()
+        assert set(ds.data_vars) == {"distance", "status", "pair_offset",
+                                     "time_offset", "cc"}
+        assert ds["cc"].dims == ("pair", "time", "lag")
+        assert ds["cc"].dtype == np.float32
+        # window stride: 1h windows, 50% overlap -> 30 min steps, closed left
+        assert ds.dims["time"] == 48
+        # lag clipped to +-100 s at 5 Hz -> ~1001 samples
+        assert abs(ds.dims["lag"] - 1001) <= 2
+        assert ds.coords["lag"].attrs["npts"] == int(WINDOW * FS)
+        assert "sha256_hash_metadata" in ds.attrs
+        assert "sha256_hash" in ds.coords["pair"].attrs["preprocess"]
+        # geodesic pair distance present (km)
+        assert 7000 < ds["distance"].values[0] < 9000
+
+    def test_init_requires_attrs(self):
+        with pytest.raises(KeyError):
+            init_ds(attrs={"institution": "x", "author": "y"})
+
+
+class TestProcess:
+    def test_process_recovers_injected_delay(self):
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T04:00"))
+        client = make_client()
+        xcorr_tpu.process(ds, client=client, verb=0)
+        status = ds["status"].values
+        assert (status == 1).all()
+        cc = ds["cc"].values
+        lag = ds.coords["lag"].values
+        # peak must land at the injected inter-receiver delay:
+        # x=EDH (no delay), y=BHZ (delayed by +4 s);
+        # r[k] = sum x[j+k] y[j] peaks at k = -DELAY
+        for it in range(cc.shape[1]):
+            peak_lag = lag[int(np.argmax(cc[0, it]))]
+            assert abs(peak_lag - (-DELAY)) < 1.0, (it, peak_lag)
+        # normalized CC bounded
+        assert np.abs(cc).max() <= 1.0
+        # offsets recorded as zero (synthetic traces start on the window)
+        assert np.allclose(ds["pair_offset"].values, 0.0)
+
+    def test_missing_data_flags(self):
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        client = make_client(missing={"IU.RAR.10.BHZ"})
+        xcorr_tpu.process(ds, client=client, verb=0)
+        assert (ds["status"].values == -1).all()
+        # retry_missing with data available again
+        client2 = make_client()
+        xcorr_tpu.process(ds, client=client2, retry_missing=True, verb=0)
+        assert (ds["status"].values == 1).all()
+
+    def test_skip_processed(self):
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        client = make_client()
+        xcorr_tpu.process(ds, client=client, verb=0)
+        cc0 = ds["cc"].values.copy()
+        # zero out data; re-process must skip (status==1)
+        ds["cc"].values[:] = 0
+        xcorr_tpu.process(ds, client=client, verb=0)
+        assert (ds["cc"].values == 0).all()
+        assert not (cc0 == 0).all()
+
+
+class TestRoundtripAndPostprocess:
+    def test_write_read_postprocess(self, tmp_path):
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T04:00"))
+        client = make_client()
+        xcorr_tpu.process(ds, client=client, verb=0)
+        nc = str(tmp_path / "shard.nc")
+        xcorr_tpu.write(ds, nc, verb=0)
+        back = xcorr_tpu.read(nc, verb=1)
+        assert back is not None
+        np.testing.assert_allclose(back["cc"].values, ds["cc"].values)
+        # full postprocess chain on the read-back dataset
+        # (clip to slow celerities so the lag window stays inside +-100s)
+        post = xcorr_tpu.postprocess(
+            back, clim=(90_000.0, 2_000_000.0),
+            filter_kwargs={"frequency": 0.5, "btype": "highpass",
+                           "order": 2})
+        assert "postprocess" in post["cc"].attrs
+        assert post["cc"].attrs["unbiased"] == 1
+        assert post.dims["lag"] < back.dims["lag"]
+
+    def test_lazy_process_resume(self, tmp_path):
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", "2014-01-03", freq="1D",
+                              inclusive="left")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        client = make_client()
+        results = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, nworkers=2, verb=0)
+        assert all(results)
+        # shards exist on the year/pair tree
+        f = xcorr_tpu.ncfile(PAIR, times[0], root)
+        assert os.path.exists(f)
+        ds = xcorr_tpu.read(f)
+        assert (ds["status"].values == 1).all()
+        # resume: all complete -> every task early-exits True
+        results2 = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, nworkers=1, verb=0)
+        assert all(results2)
+
+    def test_merge_shards(self, tmp_path):
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", "2014-01-03", freq="1D",
+                              inclusive="left")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        client = make_client()
+        xcorr_tpu.lazy_process([PAIR], times, init_args, client,
+                               inventory=make_inventory(), root=root,
+                               nworkers=2, verb=0)
+        files = [xcorr_tpu.ncfile(PAIR, t, root) for t in times]
+        merged = xcorr_tpu.merge(files)
+        assert merged.dims["pair"] == 1
+        assert merged.dims["time"] == 2 * 48
+
+
+class TestAccessor:
+    def test_ds_xcorr_accessor(self):
+        ds = init_ds()
+        assert ds.xcorr.version == xcorr_tpu.__version__
+        h = ds.xcorr.hash_metadata()
+        assert h == ds.attrs["sha256_hash_metadata"]
+
+
+class TestShardedEngine:
+    def test_sharded_correlate_multi_device(self):
+        import jax
+        from xcorr_tpu.parallel import make_mesh, sharded_correlate
+        assert len(jax.devices()) == 8  # virtual CPU mesh
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        n = 1024
+        sig = rng.normal(size=(12, n)).astype(np.float32)
+        shifted = np.stack([np.roll(s, 5) for s in sig])
+        out = sharded_correlate(shifted, sig, mesh=mesh,
+                                index_min=n - 1 - 50, index_max=n - 1 + 50)
+        assert out.shape == (12, 100)
+        peaks = out.argmax(axis=-1) - 50
+        assert (peaks == 5).all()
+
+    def test_batch_engine(self):
+        from xcorr_tpu.parallel import BatchEngine
+        eng = BatchEngine(npts=512, index_min=411, index_max=611)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(5, 512))
+        y = rng.normal(size=(5, 512))
+        out = eng(x, y)
+        assert out.shape == (5, 200)
+        from xcorr_tpu.util import cc as cc_host
+        want = cc_host.cc(x[0], y[0], unbiased=False)[411:611]
+        np.testing.assert_allclose(out[0], want.astype(np.float32),
+                                   atol=2e-5)

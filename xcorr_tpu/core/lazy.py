@@ -1,0 +1,174 @@
+r"""
+:mod:`core.lazy` -- Batch orchestration over (pair, day)
+========================================================
+
+The batch production driver (spec: ``xcorr/core/lazy.py:26-369``), with the
+reference's Dask task graph replaced by a host thread pool feeding the
+single-device batch path: waveform IO and netCDF writes overlap in threads
+while every day's windows correlate as one dense device batch
+(``xcorr_tpu.core.process``). Resume semantics are identical: a shard whose
+``status`` flags are all 1 is skipped (``core/lazy.py:49-55``), fetch
+failures are flagged -1 and retried on the next run.
+
+True multi-chip scaling lives in :mod:`xcorr_tpu.parallel` — this module is
+the single-host/single-chip orchestration tier.
+"""
+
+from __future__ import annotations
+
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pandas as pd
+
+from .. import util
+from ..io.filesystem import ncfile
+from ..io.read import read
+from ..io.write import write
+from .init import init as core_init
+from .process import process as core_process
+
+__all__ = ["single_threaded_process", "lazy_processes", "lazy_process"]
+
+
+def single_threaded_process(pair: str, time, init_args: dict,
+                            client, inventory, root: str,
+                            force_fresh: bool = False, verb: int = 0,
+                            **kwargs):
+    """Read-or-init -> process -> write one (pair, day) shard; returns
+    True when the shard is complete (reference
+    ``xcorr/core/lazy.py:26-82``)."""
+    data = None
+    time = util.time.to_datetime(time)
+    nc = ncfile(pair, time, root)
+    if not force_fresh:
+        data = read(nc, fast=True, verb=verb)
+        if data is not None and np.all(data["status"].values == 1):
+            return True
+    if data is None:
+        data = core_init(
+            pair=pair,
+            starttime=time,
+            endtime=time + pd.Timedelta("1D"),
+            **init_args,
+        )
+    core_process(data, client=client, inventory=inventory,
+                 retry_missing=True, verb=verb, **kwargs)
+    if np.any(data["status"].values == 1):
+        write(data, nc, verb=verb)
+    return bool(np.all(data["status"].values == 1))
+
+
+def lazy_processes(pairs: list, times, availability=None, preprocessing=None,
+                   init_args: dict = None, client=None, inventory=None,
+                   root: str = None, verb: int = 0, **kwargs):
+    """Build the gated (pair, day) task list: each item is a zero-arg
+    callable (reference builds dask.delayed objects,
+    ``xcorr/core/lazy.py:85-194``)."""
+    tasks = []
+    for pair in pairs:
+        receivers = util.receiver.split_pair(pair, substitute=True)
+        for time in pd.DatetimeIndex(np.asarray(times)):
+            if availability is not None:
+                ok = True
+                for r in receivers:
+                    try:
+                        flag = availability.sel(receiver=r, time=time)
+                        ok &= int(np.asarray(flag.values)) == 1
+                    except KeyError:
+                        ok = False
+                if not ok:
+                    if verb > 0:
+                        print(f"{pair} {time}: not available. Skip.")
+                    continue
+            if preprocessing is not None:
+                ok = True
+                for r in receivers:
+                    try:
+                        flag = preprocessing.sel(receiver=r)
+                        ok &= int(np.asarray(flag.values).ravel()[0]) == 1
+                    except KeyError:
+                        ok = False
+                if not ok:
+                    if verb > 0:
+                        print(f"{pair} {time}: preprocessing failed. Skip.")
+                    continue
+
+            def task(pair=pair, time=time):
+                try:
+                    return single_threaded_process(
+                        pair, time, init_args or {}, client, inventory,
+                        root, verb=verb, **kwargs)
+                except Exception as error:
+                    warnings.warn(f"{pair} {time} failed: {error}",
+                                  UserWarning)
+                    return False
+            tasks.append(task)
+    return tasks
+
+
+def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
+                 inventory=None, root: str = None, nworkers: int = None,
+                 download: bool = True, verb: int = 1, **kwargs):
+    """End-to-end batch driver (reference ``xcorr/core/lazy.py:197-369``):
+    availability scan -> preprocess verification on one day -> gated
+    (pair, day) fan-out over a thread pool."""
+    from ..stream.client import Client
+
+    client = client_args if hasattr(client_args, "get_waveforms") else \
+        Client(**client_args)
+
+    times = pd.DatetimeIndex(np.asarray(times))
+    pairs = list(pairs)
+
+    # receivers of all pairs
+    receivers = []
+    for p in pairs:
+        for r in util.receiver.split_pair(p, substitute=True):
+            if r not in receivers:
+                receivers.append(r)
+
+    # 1. availability scan (parallel host IO)
+    if verb > 0:
+        print(f"Verify waveform availability for {len(receivers)} "
+              f"receivers x {len(times)} days")
+    availability = client.verify_waveform_availability(
+        receivers, times, substitute=False, parallel=True,
+        download=download, verb=verb)
+
+    # 2. preprocess verification on one fully-available day
+    preprocessing = None
+    av = availability.values
+    full_days = np.nonzero((av == 1).all(axis=0))[0]
+    if full_days.size:
+        day = times[int(full_days[0])] + pd.Timedelta("12h")
+        if verb > 0:
+            print(f"Verify waveform preprocessing on {day}")
+        preprocessing = client.verify_waveform_processing(
+            receivers, day,
+            operations=init_args["preprocess"],
+            inventory=inventory,
+            sampling_rate=init_args.get("sampling_rate"),
+            parallel=True, verb=verb)
+
+    # 3. gated fan-out
+    tasks = lazy_processes(
+        pairs, times, availability=availability,
+        preprocessing=preprocessing, init_args=init_args, client=client,
+        inventory=inventory, root=root, verb=verb - 1 if verb else 0,
+        **kwargs)
+    if verb > 0:
+        print(f"Scheduling {len(tasks)} pair-day tasks")
+    nworkers = nworkers or 4
+    if nworkers > 1:
+        with ThreadPoolExecutor(max_workers=nworkers) as ex:
+            results = list(ex.map(lambda t: t(), tasks))
+    else:
+        results = [t() for t in tasks]
+
+    completed = sum(bool(r) for r in results)
+    if verb > 0:
+        pct = 100.0 * completed / len(results) if results else 100.0
+        print(f"Completed {completed} of {len(results)} ({pct:.1f}%)")
+    return results

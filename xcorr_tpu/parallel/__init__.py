@@ -1,0 +1,14 @@
+r"""
+:mod:`xcorr_tpu.parallel` -- Device-mesh scaling
+================================================
+
+Multi-chip batch engine: ``jax.sharding.Mesh`` + ``shard_map`` over a
+dense ``(pair x window)`` batch axis, replacing the reference's Dask task
+fan-out (SURVEY.md §2.8 P1/P2).
+"""
+
+from .mesh import make_mesh, batch_sharding
+from .batch import sharded_correlate, BatchEngine
+
+__all__ = ["make_mesh", "batch_sharding", "sharded_correlate",
+           "BatchEngine"]

@@ -1,0 +1,139 @@
+r"""
+:mod:`stream.sds` -- SDS day-file archive
+=========================================
+
+SeisComP Data Structure archive access: one file per
+(net, sta, loc, cha, day) under ``root/YEAR/NET/STA/CHA.D/``
+(reference: ``obspy.clients.filesystem.sds`` used by
+``xcorr/stream/client.py:560-651`` and the writer ``to_SDS``,
+``xcorr/stream/to_SDS.py:35-251``).
+
+Day files are stored as HDF5 (samples + stats attrs) or miniSEED (decoded
+by the native C++ codec, :mod:`xcorr_tpu.native`); the format is sniffed
+from the file's magic bytes on read.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+
+from .trace import Stream, Stats, Trace, UTCDateTime
+
+__all__ = ["SDSArchive", "sds_path", "to_SDS"]
+
+_HDF5_MAGIC = b"\x89HDF"
+
+
+def sds_path(root, net, sta, loc, cha, time, sds_type="D"):
+    """Canonical SDS day-file path (no extension, SDS convention)."""
+    t = UTCDateTime(time)
+    fname = f"{net}.{sta}.{loc}.{cha}.{sds_type}.{t.year}.{t.julday:03d}"
+    return os.path.join(root, f"{t.year:04d}", net, sta,
+                        f"{cha}.{sds_type}", fname)
+
+
+class SDSArchive:
+    """Read/write SDS day files."""
+
+    def __init__(self, root: str, sds_type: str = "D", format: str = "h5"):
+        self.root = root
+        self.sds_type = sds_type
+        self.format = format
+
+    def path(self, net, sta, loc, cha, time):
+        return sds_path(self.root, net, sta, loc, cha, time, self.sds_type)
+
+    def read(self, seed_id: str, time) -> Stream:
+        """Read the day file covering ``time`` for ``seed_id``
+        (wildcards allowed via glob)."""
+        net, sta, loc, cha = seed_id.split(".")
+        pattern = self.path(net, sta, loc, cha, time)
+        traces = []
+        for path in sorted(glob(pattern)):
+            traces.extend(read_dayfile(path))
+        return Stream(traces)
+
+    def write(self, stream: Stream, verb: int = 0):
+        """Write each trace into its day slot (whole-day replace)."""
+        for tr in stream:
+            s = tr.stats
+            path = self.path(s.network, s.station, s.location, s.channel,
+                             s.starttime)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if self.format == "mseed":
+                from ..native.mseed import write_mseed
+                write_mseed(path, tr)
+            else:
+                write_dayfile_h5(path, tr)
+            if verb > 0:
+                print(f"SDS write: {path}")
+
+
+def read_dayfile(path) -> list:
+    """Read one SDS day file, sniffing HDF5 vs miniSEED."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == _HDF5_MAGIC:
+        return _read_dayfile_h5(path)
+    from ..native.mseed import read_mseed
+    return read_mseed(path)
+
+
+def _read_dayfile_h5(path):
+    import h5py
+    traces = []
+    with h5py.File(path, "r") as f:
+        for name in f:
+            dset = f[name]
+            stats = Stats({
+                k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in dset.attrs.items()})
+            stats.starttime = UTCDateTime(int(dset.attrs["starttime_ns"])
+                                          / 1e9)
+            traces.append(Trace(dset[...], stats))
+    return traces
+
+
+def write_dayfile_h5(path, trace: Trace):
+    import h5py
+    with h5py.File(path, "a") as f:
+        name = f"{trace.id}.{trace.stats.starttime.ns}"
+        if name in f:
+            del f[name]
+        dset = f.create_dataset(name, data=trace.data,
+                                compression="gzip", compression_opts=4,
+                                shuffle=True)
+        s = trace.stats
+        dset.attrs.update({
+            "network": s.network, "station": s.station,
+            "location": s.location, "channel": s.channel,
+            "sampling_rate": float(s.sampling_rate),
+            "npts": int(s.npts),
+            "starttime_ns": int(s.starttime.ns),
+        })
+
+
+def to_SDS(stream: Stream, sds_path_root: str, extra_samples: int = 0,
+           method: str = "overwrite", verb: int = 0, **kwargs):
+    """Write streams into the SDS tree, day-sliced with ``extra_samples``
+    overlap (reference ``xcorr/stream/to_SDS.py:30-97`` semantics)."""
+    archive = SDSArchive(sds_path_root)
+    for tr in stream:
+        fs = tr.stats.sampling_rate
+        t0 = tr.stats.starttime
+        t1 = tr.stats.endtime
+        # day boundaries covered by the trace
+        import pandas as pd
+        day0 = pd.Timestamp(t0.ns).normalize()
+        day1 = pd.Timestamp(t1.ns).normalize()
+        for day in pd.date_range(day0, day1, freq="1D"):
+            d0 = UTCDateTime(day)
+            d1 = d0 + 86400.0 + extra_samples / fs
+            piece = tr.slice(d0, d1 - 1.0 / fs)
+            if piece.stats.npts == 0:
+                continue
+            archive.write(Stream([piece]), verb=verb)
+    return True

@@ -22,10 +22,8 @@ def _version():
     return __version__
 
 
-version = property(_version)  # module-level alias resolved lazily below
-
-
 def __getattr__(name):
+    # lazy module attribute (PEP 562): avoids a circular import at load
     if name == "version":
         return _version()
     raise AttributeError(name)
