@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""xcorr-tpu headline benchmark: CCF pair-days/sec/chip at 50 Hz.
+
+The canonical production workload (BASELINE.md): 24 h @ 50 Hz windows
+(npts = 4,320,000), 8 windows per pair-day (3 h shift), lag clipped to
+0..9 h (1,620,000 samples stored), normalized frequency-domain
+cross-correlation. One "unit" = one pair-day = one batch of 8 windows
+through the fused rfft -> conj-mul -> irfft kernel.
+
+vs_baseline compares against the reference's compute path measured in this
+same process: numpy fft (the reference's backend when pyFFTW is absent,
+xcorr/util/cc.py:12-15) running one window on one host core, scaled to a
+pair-day.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure_device(n, B, imin, imax, iters=10):
+    """Steady-state time per batch on the active JAX backend.
+
+    The timed loop keeps a data dependency between iterations (the first
+    output element folds into the next input) so an asynchronous/tunnelled
+    runtime cannot overlap or elide executions.
+    """
+    import jax
+    import jax.numpy as jnp
+    from xcorr_tpu import ops
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+
+    @jax.jit
+    def step(x, y):
+        r = ops.cc.correlate(x, y, index_min=imin, index_max=imax)
+        return r, x + r[0, 0] * 1e-30
+
+    (r, x2) = step(x, y)
+    np.asarray(r[0, 0])  # warmup + force completion
+
+    t0 = time.time()
+    xi = x
+    for _ in range(iters):
+        r, xi = step(xi, y)
+    np.asarray(r[0, 0])  # serialize on the dependency chain
+    return (time.time() - t0) / iters
+
+
+def measure_reference(n, imin, imax):
+    """One window through the reference numpy-fft formula on the host."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=n).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    nn = 2 * n - 1
+    t0 = time.time()
+    xx = np.zeros(nn, dtype=np.float32)
+    xx[nn - n:] = x
+    yy = np.zeros(nn, dtype=np.float32)
+    yy[nn - n:] = y
+    fg = np.fft.fft(xx) * np.conjugate(np.fft.fft(yy))
+    fg /= np.linalg.norm(xx) * np.linalg.norm(yy)
+    _ = np.fft.fftshift(np.real(np.fft.ifft(fg)))[imin:imax]
+    return time.time() - t0
+
+
+def main():
+    small = "--small" in sys.argv or os.environ.get(
+        "XCORR_BENCH_SMALL") == "1"
+    import jax
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and "--full" not in sys.argv:
+        small = True
+
+    if small:
+        n, B = 432_000, 8           # 2.4 h @ 50 Hz per window
+        imin, imax = n - 1, n - 1 + 162_000
+        scale = 4_320_000 / n       # report as full-day equivalents? no:
+        scale = 1.0                 # keep honest: report the small config
+        days_per_batch = n * 8 / 4_320_000 / 8  # fraction of a pair-day
+    else:
+        n, B = 4_320_000, 8         # 24 h @ 50 Hz, 8 windows = 1 pair-day
+        imin, imax = n - 1, n - 1 + 1_620_000
+        days_per_batch = 1.0
+
+    dt = measure_device(n, B, imin, imax,
+                        iters=10 if not small else 5)
+    pair_days_per_sec = days_per_batch / dt
+
+    t_ref = measure_reference(n, imin, imax)
+    ref_pair_days_per_sec = (n * B / 4_320_000 / 8) / (t_ref * B) \
+        if small else 1.0 / (t_ref * 8)
+
+    print(json.dumps({
+        "metric": "CCF pair-days/sec/chip at 50 Hz"
+                  + (" (small config)" if small else ""),
+        "value": round(pair_days_per_sec, 3),
+        "unit": "pair-days/s",
+        "vs_baseline": round(pair_days_per_sec / ref_pair_days_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

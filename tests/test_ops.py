@@ -16,8 +16,13 @@ class TestNextFastLen:
         assert ops.fft.next_fast_len(17) == 18  # 2*3^2
 
     def test_canonical_day(self):
-        # canonical padded day-correlation length
-        assert ops.fft.next_fast_len(8_639_999) == 8_640_000
+        # canonical padded day-correlation length: 2^20*9 (TPU-safe
+        # odd part; the 5-smooth 8,640,000 triggers XLA's dense-DFT
+        # fallback on TPU)
+        assert ops.fft.next_fast_len(8_639_999) == 9_437_184
+        # unrestricted search still available off-TPU
+        assert ops.fft.next_fast_len(8_639_999,
+                                     radices=(2, 3, 5)) == 8_640_000
 
 
 class TestCorrelate:

@@ -19,14 +19,25 @@ import numpy as np
 __all__ = ["next_fast_len", "rfft_freqs"]
 
 
-@lru_cache(maxsize=None)
-def next_fast_len(n: int, radices=(2, 3, 5)) -> int:
-    """Smallest integer >= n that factors entirely into ``radices``.
+# Odd parts XLA's TPU FFT decomposes without falling back to a dense DFT
+# matmul. Measured on v5e: 2^a (any a) and 2^a*{3,5,9,15} compile and run
+# fast; a large smooth odd part (e.g. 8,640,000 = 2^9*16875) triggers an
+# O(m^2) DFT-matrix lowering that OOMs HBM at day scale.
+_TPU_SAFE_ODD = (1, 3, 5, 9, 15)
 
-    Default 5-smooth sizes match XLA's efficient TPU FFT radices; the
-    canonical padded day-correlation 8,639,999 maps to 8,640,000
-    (= 2^9·3^3·5^4, ~1e-7 overhead) instead of the 94% overhead of the
-    next power of two.
+
+@lru_cache(maxsize=None)
+def next_fast_len(n: int, radices=None) -> int:
+    """Smallest TPU-efficient FFT length >= n.
+
+    Candidates are ``2^a * m`` with the odd part ``m`` restricted to
+    :data:`_TPU_SAFE_ODD`; the canonical padded day-correlation 8,639,999
+    maps to 9,437,184 (= 2^20*9, 9.2% overhead) instead of the 94%
+    overhead of the next power of two — and never hits XLA's dense-DFT
+    fallback that a fully 5-smooth size (8,640,000) triggers.
+
+    Passing explicit ``radices`` (e.g. (2, 3, 5)) restores an unrestricted
+    smooth-number search (useful off-TPU).
     """
     if n <= 1:
         return 1
@@ -34,7 +45,16 @@ def next_fast_len(n: int, radices=(2, 3, 5)) -> int:
     limit = 1
     while limit < n:
         limit *= 2
-    # enumerate all radices-smooth numbers <= limit
+    if radices is None:
+        best = limit
+        for m in _TPU_SAFE_ODD:
+            v = m
+            while v < n:
+                v *= 2
+            if v <= limit:
+                best = min(best, v)
+        return best
+    # unrestricted smooth-number search
     vals = {1}
     for r in radices:
         new = set(vals)

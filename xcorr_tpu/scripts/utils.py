@@ -1,0 +1,139 @@
+r"""
+:mod:`scripts.utils` -- Shared CLI plumbing
+===========================================
+
+Logging init, common argparse groups, output naming and attrs handling
+(spec: ``xcorr/scripts/utils.py:29-203``). The reference's Dask cluster
+bootstrap (``init_dask``) becomes a host thread-pool configuration — device
+parallelism is handled by the JAX mesh, not a task scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import pandas as pd
+
+__all__ = ["init_logging", "add_common_arguments", "add_attrs_group",
+           "parse_attrs", "ncfile_name", "init_compute"]
+
+
+def init_logging(debug: bool = False):
+    """Configure stdout logging (reference ``scripts/utils.py:29-47``)."""
+    logging.basicConfig(
+        stream=sys.stdout,
+        format="%(asctime)s %(levelname)s %(message)s",
+        level=logging.DEBUG if debug else logging.INFO,
+    )
+    return logging.getLogger()
+
+
+def init_compute(args):
+    """Configure host-side worker count and the JAX platform.
+
+    Replaces the reference's ``init_dask`` LocalCluster/scheduler bootstrap
+    (``scripts/utils.py:50-79``): device work runs on the JAX backend;
+    ``--nworkers`` only sizes the host IO thread pool. ``--platform`` (or
+    the JAX_PLATFORMS env var) pins the backend — needed because some TPU
+    plugins register regardless of the env var.
+    """
+    n = getattr(args, "nworkers", None) or os.cpu_count() or 4
+    if getattr(args, "debug", False):
+        logging.getLogger().setLevel(logging.DEBUG)
+    plat = getattr(args, "platform", None) or \
+        os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat.split(",")[0])
+        except RuntimeError:
+            pass  # backend already initialized
+    return {"nworkers": n}
+
+
+def add_common_arguments(parser: argparse.ArgumentParser,
+                         dask: bool = True):
+    """The shared CLI options (reference ``scripts/utils.py:115-159``)."""
+    parser.add_argument(
+        "-n", "--nworkers", metavar="..", type=int, default=None,
+        help="Set the number of host IO workers (defaults to cpu count)")
+    parser.add_argument(
+        "--scheduler", metavar="..", type=str, default=None,
+        help="Accepted for reference-CLI compatibility (ignored: device "
+             "parallelism uses the JAX mesh)")
+    parser.add_argument(
+        "--platform", metavar="..", type=str, default=None,
+        help="Pin the JAX backend (cpu/tpu); defaults to JAX_PLATFORMS")
+    parser.add_argument(
+        "--prefix", metavar="..", type=str, default=None,
+        help="Set the output file prefix")
+    parser.add_argument(
+        "--suffix", metavar="..", type=str, default=None,
+        help="Set the output file suffix")
+    parser.add_argument(
+        "--overwrite", action="store_true", default=False,
+        help="Overwrite output when it exists")
+    parser.add_argument(
+        "--plot", action="store_true", default=False,
+        help="Render result plots")
+    parser.add_argument(
+        "--quick-and-dirty", action="store_true", default=False,
+        dest="quick_and_dirty",
+        help="Skip hash verification on reads")
+    parser.add_argument(
+        "--debug", action="store_true", default=False,
+        help="Verbose debug logging")
+    parser.add_argument(
+        "--version", action="version",
+        version=_version_string())
+    return parser
+
+
+def _version_string():
+    from .. import __version__
+    return f"xcorr-tpu {__version__}"
+
+
+def add_attrs_group(parser: argparse.ArgumentParser):
+    """Global-attribute options (reference ``scripts/utils.py:162-203``)."""
+    group = parser.add_argument_group("dataset attributes")
+    group.add_argument("--title", metavar="..", type=str, default="")
+    group.add_argument("--institution", metavar="..", type=str,
+                       default="n/a")
+    group.add_argument("--author", metavar="..", type=str, default="n/a")
+    group.add_argument("--source", metavar="..", type=str, default="n/a")
+    group.add_argument("--attrs-json", metavar="..", type=str, default=None,
+                       help="JSON file with global attributes")
+    return parser
+
+
+def parse_attrs(args):
+    """Build the global attrs dict from CLI options (+ optional JSON)."""
+    attrs = {
+        "title": args.title,
+        "institution": args.institution,
+        "author": args.author,
+        "source": args.source,
+    }
+    if getattr(args, "attrs_json", None):
+        with open(args.attrs_json) as f:
+            attrs.update(json.load(f))
+    return attrs
+
+
+def ncfile_name(prefix: str, start, end, suffix: str = None):
+    """Canonical derived-product filename
+    (reference ``scripts/utils.py:82-112``)."""
+    start = pd.to_datetime(start)
+    end = pd.to_datetime(end)
+    name = "{p}_{s}_{e}{x}.nc".format(
+        p=prefix,
+        s=start.strftime("%Y%j"),
+        e=end.strftime("%Y%j"),
+        x=f"_{suffix}" if suffix else "",
+    )
+    return name

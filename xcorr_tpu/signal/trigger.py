@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 
 from ..util.history import historicize
-from ..util.time import to_datetime, to_seconds
+from ..util.time import to_datetime
 from ._helpers import get_dim
 
 __all__ = ["coincidence_trigger", "trigger_periods", "trigger_values",
@@ -161,8 +161,8 @@ def trigger_periods(trigs):
         start, end = tvals[sel][0], tvals[sel][-1]
         periods.append(pd.DataFrame(
             data={"start": [to_datetime(start)], "end": [to_datetime(end)],
-                  "days": [to_seconds(pd.to_timedelta(
-                      to_datetime(end) - to_datetime(start))) / 86400.0]},
+                  "days": [(to_datetime(end) - to_datetime(start))
+                           .total_seconds() / 86400.0]},
             index=[int(index)]))
     return pd.concat(periods)
 
