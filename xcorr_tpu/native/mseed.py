@@ -1,0 +1,164 @@
+r"""
+:mod:`native.mseed` -- ctypes bindings for the miniSEED codec
+=============================================================
+
+Python interface to ``libxcmseed.so`` (see ``mseed.cpp``): read miniSEED
+files/buffers into :class:`xcorr_tpu.stream.Trace` objects and write
+Steim1-compressed records. Builds the shared library on first use when the
+compiled artifact is missing (g++ is part of the toolchain).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["read_mseed", "read_mseed_bytes", "write_mseed", "encode_mseed",
+           "available"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libxcmseed.so")
+_lib = None
+
+
+class _Segment(ctypes.Structure):
+    _fields_ = [
+        ("network", ctypes.c_char * 3),
+        ("station", ctypes.c_char * 6),
+        ("location", ctypes.c_char * 3),
+        ("channel", ctypes.c_char * 4),
+        ("starttime", ctypes.c_double),
+        ("sampling_rate", ctypes.c_double),
+        ("npts", ctypes.c_int32),
+        ("dtype", ctypes.c_int32),
+        ("samples", ctypes.c_void_p),
+    ]
+
+
+def _build():
+    subprocess.run(["make", "-C", _DIR, "-s"], check=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.xcm_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(_Segment))]
+    lib.xcm_decode.restype = ctypes.c_int
+    lib.xcm_free.argtypes = [ctypes.POINTER(_Segment), ctypes.c_int]
+    lib.xcm_free.restype = None
+    lib.xcm_encode_steim1.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.xcm_encode_steim1.restype = ctypes.c_int64
+    lib.xcm_free_bytes.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.xcm_free_bytes.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    """Whether the native codec can be loaded/built."""
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def read_mseed_bytes(payload: bytes):
+    """Decode a miniSEED buffer into a list of Traces (merged per id where
+    contiguous)."""
+    from ..stream.trace import Stats, Trace
+
+    lib = _load()
+    segs = ctypes.POINTER(_Segment)()
+    n = lib.xcm_decode(payload, len(payload), ctypes.byref(segs))
+    traces = []
+    try:
+        for i in range(n):
+            s = segs[i]
+            npdtype = {0: np.int32, 1: np.float32, 2: np.float64}[s.dtype]
+            buf = ctypes.cast(
+                s.samples,
+                ctypes.POINTER(ctypes.c_uint8 * (
+                    s.npts * np.dtype(npdtype).itemsize)))
+            data = np.frombuffer(bytes(buf.contents),
+                                 dtype=npdtype).copy()
+            stats = Stats(
+                network=s.network.decode().strip(),
+                station=s.station.decode().strip(),
+                location=s.location.decode().strip(),
+                channel=s.channel.decode().strip(),
+                starttime=float(s.starttime),
+                sampling_rate=float(s.sampling_rate),
+            )
+            traces.append(Trace(data, stats))
+    finally:
+        lib.xcm_free(segs, n)
+    return _merge_contiguous(traces)
+
+
+def _merge_contiguous(traces):
+    """Join record-level segments that are exactly contiguous."""
+    out = []
+    for tr in traces:
+        if out:
+            prev = out[-1]
+            dt = tr.stats.starttime - prev.stats.endtime
+            if (prev.id == tr.id
+                    and prev.stats.sampling_rate == tr.stats.sampling_rate
+                    and abs(dt - 1.0 / tr.stats.sampling_rate) < 1e-4):
+                prev.data = np.concatenate([prev.data, tr.data])
+                prev.stats.npts = prev.data.size
+                continue
+        out.append(tr)
+    return out
+
+
+def read_mseed(path: str):
+    """Decode a miniSEED file into Traces."""
+    with open(path, "rb") as f:
+        return read_mseed_bytes(f.read())
+
+
+def encode_mseed(trace, reclen: int = 512) -> bytes:
+    """Encode one Trace as big-endian Steim1 miniSEED records."""
+    lib = _load()
+    data = np.ascontiguousarray(np.round(trace.data).astype(np.int32)) \
+        if trace.data.dtype.kind in "fi" else None
+    if data is None:
+        raise TypeError("only numeric traces can be Steim1-encoded")
+    s = trace.stats
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    nbytes = lib.xcm_encode_steim1(
+        s.network.encode(), s.station.encode(), s.location.encode(),
+        s.channel.encode(), float(s.starttime.timestamp),
+        float(s.sampling_rate),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(data.size), reclen, ctypes.byref(out))
+    if nbytes < 0:
+        raise RuntimeError(f"mseed encode failed ({nbytes})")
+    try:
+        return bytes(bytearray(ctypes.cast(
+            out, ctypes.POINTER(ctypes.c_uint8 * nbytes)).contents))
+    finally:
+        lib.xcm_free_bytes(out)
+
+
+def write_mseed(path: str, trace, reclen: int = 512):
+    """Write one Trace as a miniSEED file (int32 Steim1)."""
+    payload = encode_mseed(trace, reclen=reclen)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
