@@ -1,0 +1,127 @@
+"""Device-compiled preprocess chains vs the host (Trace-method) path."""
+import numpy as np
+import pytest
+
+from xcorr_tpu.stream import PAZResponse, Stats, Trace
+from xcorr_tpu.stream.compile import compile_operations
+
+
+def host_run(ops_list, data, fs, response=None):
+    """Reference: the per-trace host path."""
+    from xcorr_tpu.stream import Inventory, Channel
+    from xcorr_tpu.stream.process import process
+    tr = Trace(data.copy(), Stats(network="IU", station="TST",
+                                  location="", channel="BHZ",
+                                  starttime="2014-01-01",
+                                  sampling_rate=fs))
+    inv = None
+    if response is not None:
+        inv = Inventory([Channel("IU", "TST", "", "BHZ",
+                                 response=response)])
+    out = process(tr, ops_list, inventory=inv, raise_error=True)
+    return out.data if hasattr(out, "data") else out[0].data
+
+
+class TestCompiledChains:
+    def test_detrend_taper_filter_chain(self):
+        fs, n = 50.0, 20_000
+        ops_list = [
+            ("detrend", {"type": "demean"}),
+            ("taper", {"type": "cosine", "max_percentage": 0.05,
+                       "max_length": 30.0}),
+            ("filter", {"type": "bandpass", "freqmin": 3.0,
+                        "freqmax": 20.0}),
+            ("detrend", {"type": "demean"}),
+        ]
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=n) + 5.0
+        fn, n_out, fs_out = compile_operations(ops_list, n, fs)
+        got = np.asarray(fn(data[None]))[0]
+        want = host_run(ops_list, data, fs)
+        assert (n_out, fs_out) == (n, fs)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+    def test_decimate_matches_host(self):
+        fs, n = 250.0, 25_000
+        ops_list = [("decimate", {"factor": 5})]
+        data = np.random.default_rng(1).normal(size=n)
+        fn, n_out, fs_out = compile_operations(ops_list, n, fs)
+        got = np.asarray(fn(data[None]))[0]
+        want = host_run(ops_list, data, fs)
+        assert fs_out == 50.0
+        assert got.size == want.size
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+    def test_lanczos_interpolate_matches_host(self):
+        fs, n = 40.0, 8_000
+        ops_list = [("interpolate", {"sampling_rate": 50, "method":
+                                     "lanczos", "a": 20})]
+        data = np.random.default_rng(2).normal(size=n)
+        fn, n_out, fs_out = compile_operations(ops_list, n, fs)
+        got = np.asarray(fn(data[None]))[0]
+        want = host_run(ops_list, data, fs)
+        assert fs_out == 50.0
+        assert n_out == want.size  # strict sample-count parity
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_remove_response_and_sensitivity(self):
+        fs, n = 20.0, 10_000
+        paz = PAZResponse(poles=[-0.04 + 0.04j, -0.04 - 0.04j],
+                          zeros=[0, 0], gain=1.0, sensitivity=2.5e8)
+        data = np.random.default_rng(3).normal(size=n)
+        for ops_list in ([("remove_sensitivity", {})],
+                         [("remove_response", {"output": "VEL",
+                                               "water_level": 60.0})]):
+            fn, n_out, fs_out = compile_operations(ops_list, n, fs,
+                                                   response=paz)
+            got = np.asarray(fn(data[None]))[0]
+            want = host_run(ops_list, data, fs, response=paz)
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-12)
+
+    def test_production_edh_chain(self):
+        """The canonical EDH hydrophone chain end-to-end (250 -> 50 Hz)."""
+        fs, n = 250.0, 50_000
+        ops_list = [
+            ("merge", {"method": 1}),              # host op: skipped
+            ("detrend", {"type": "demean"}),
+            ("remove_sensitivity", {}),
+            ("filter", {"type": "bandpass", "freqmin": 3.0,
+                        "freqmax": 20.0}),
+            ("decimate", {"factor": 5}),
+            ("trim", {}),                          # host op: skipped
+            ("detrend", {"type": "demean"}),
+            ("taper", {"type": "cosine", "max_percentage": 0.05,
+                       "max_length": 30.0}),
+        ]
+        paz = PAZResponse(sensitivity=1e9)
+        data = np.random.default_rng(4).normal(size=(3, n))  # batch of 3
+        fn, n_out, fs_out = compile_operations(ops_list, n, fs,
+                                               response=paz)
+        got = np.asarray(fn(data))
+        assert fs_out == 50.0
+        assert got.shape == (3, n_out)
+        want0 = host_run([o for o in ops_list
+                          if o[0] not in ("merge", "trim")],
+                         data[0], fs, response=paz)
+        np.testing.assert_allclose(got[0], want0, rtol=1e-5, atol=1e-10)
+
+    def test_running_rms(self):
+        fs, n = 10.0, 6_000
+        ops_list = [("running_rms", {"window": 60.0})]
+        data = np.random.default_rng(5).normal(size=n)
+        fn, n_out, fs_out = compile_operations(ops_list, n, fs)
+        got = np.asarray(fn(data[None]))[0]
+        assert n_out == 10  # 600 s / 60 s windows
+        want = np.sqrt((data.reshape(10, 600) ** 2).mean(axis=1))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_unsupported_op_raises(self):
+        with pytest.raises(NotImplementedError):
+            compile_operations([("frobnicate", {})], 100, 1.0)
+
+    def test_trim_to(self):
+        fn, n_out, _ = compile_operations(
+            [("detrend", {"type": "demean"})], 1000, 10.0, trim_to=800)
+        assert n_out == 800
+        out = np.asarray(fn(np.ones((1, 1000))))
+        assert out.shape == (1, 800)

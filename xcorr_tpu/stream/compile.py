@@ -1,0 +1,250 @@
+r"""
+:mod:`stream.compile` -- Compile preprocess chains to fused device kernels
+==========================================================================
+
+The production ingest path: a channel's hashed operations list
+(``stream/process.py`` DSL) compiles into ONE jitted function over dense
+``(batch, npts)`` blocks — the TPU replacement for the reference's
+per-trace obspy dispatch (``xcorr/stream/process.py:279-282`` applies each
+op eagerly on the host, single-threaded).
+
+Host-irregular steps (``merge`` gap filling, ``select``, ``rotate``) run at
+the edge before blocks densify; everything sample-regular (detrend, taper,
+Butterworth filters, decimate, Lanczos interpolation, response removal,
+normalization, running RMS) fuses on device. Static shapes throughout: one
+compiled executable per (channel-chain, npts) config.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal as sp_signal
+
+from .. import ops
+
+__all__ = ["compile_operations", "DEVICE_OPS", "HOST_OPS"]
+
+# ops the device chain implements; everything else must run host-side first
+DEVICE_OPS = {"detrend", "taper", "filter", "decimate", "interpolate",
+              "remove_sensitivity", "remove_response", "normalize",
+              "running_rms"}
+HOST_OPS = {"merge", "trim", "select", "rotate", "attach_response",
+            "simulate", "resample"}
+
+
+class _Stage:
+    """One compiled stage: fn(batch_block) -> batch_block, with static
+    output length/rate tracking."""
+
+    def __init__(self, fn, npts_out, fs_out):
+        self.fn = fn
+        self.npts_out = npts_out
+        self.fs_out = fs_out
+
+
+def _stage_detrend(params, npts, fs):
+    kind = params.get("type", "simple")
+    if kind in ("demean", "constant"):
+        return _Stage(ops.detrend.demean, npts, fs)
+    if kind in ("linear", "simple"):
+        return _Stage(ops.detrend.detrend_linear, npts, fs)
+    raise ValueError(f"detrend type {kind!r} not compilable")
+
+
+def _stage_taper(params, npts, fs):
+    vec = ops.taper.taper_vector(
+        npts, wtype=params.get("type", "hann"),
+        max_percentage=params.get("max_percentage"),
+        max_length=params.get("max_length"),
+        sampling_rate=fs, side=params.get("side", "both"),
+        dtype=np.float64)
+
+    def fn(x, vec=jnp.asarray(vec)):
+        return x * vec.astype(x.dtype)
+    return _Stage(fn, npts, fs)
+
+
+def _stage_filter(params, npts, fs):
+    btype = params["type"]
+    corners = params.get("corners", 4)
+    zerophase = params.get("zerophase", False)
+    if btype in ("bandpass", "bandstop"):
+        freq = (params["freqmin"], params["freqmax"])
+    else:
+        freq = params["freq"]
+    sos = ops.filter.butter_sos(corners, freq, btype, fs)
+    if zerophase:
+        zi, padlen = ops.filter.filtfilt_design(sos)
+
+        def fn(x):
+            return ops.filter.sosfiltfilt(sos, x, zi_template=zi,
+                                          padlen=padlen)
+    else:
+        def fn(x):
+            return ops.filter.sosfilt(jnp.asarray(sos, x.dtype), x)
+    return _Stage(fn, npts, fs)
+
+
+def _stage_decimate(params, npts, fs):
+    factor = int(params["factor"])
+    no_filter = params.get("no_filter", False)
+    new_fs = fs / factor
+    npts_out = int(np.ceil(npts / factor))
+    if no_filter:
+        def fn(x):
+            return x[..., ::factor]
+    else:
+        # anti-alias: obspy-style cheby2 lowpass at 0.98 x new nyquist
+        sos = sp_signal.cheby2(10, 96, 0.98 * new_fs / 2, btype="lowpass",
+                               fs=fs, output="sos")
+
+        def fn(x, sos=sos):
+            y = ops.filter.sosfilt(jnp.asarray(sos, x.dtype), x)
+            return y[..., ::factor]
+    return _Stage(fn, npts_out, new_fs)
+
+
+def _stage_interpolate(params, npts, fs):
+    new_fs = float(params["sampling_rate"])
+    a = int(params.get("a", 20))
+    duration = (npts - 1) / fs
+    npts_out = int(np.floor(duration * new_fs)) + 1
+
+    # fractional source positions of each output sample (static)
+    pos = np.arange(npts_out) / new_fs * fs
+    i0 = np.floor(pos).astype(np.int32)
+    frac = (pos - i0).astype(np.float64)
+
+    # Lanczos kernel weights: (npts_out, 2a) gather + weighted sum
+    ks = np.arange(-a + 1, a + 1)
+    t = frac[:, None] - ks[None, :]
+    w = np.sinc(t) * np.sinc(t / a) * (np.abs(t) < a)
+    idx = i0[:, None] + ks[None, :]
+    valid = (idx >= 0) & (idx < npts)
+    w = np.where(valid, w, 0.0)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = np.where(wsum > 0, w / np.where(wsum > 0, wsum, 1.0), 0.0)
+    idx = np.clip(idx, 0, npts - 1)
+
+    def fn(x, idx=jnp.asarray(idx), w64=w):
+        g = x[..., idx]                      # (..., npts_out, 2a)
+        return jnp.sum(g * jnp.asarray(w64, x.dtype), axis=-1)
+    return _Stage(fn, npts_out, new_fs)
+
+
+def _stage_remove_sensitivity(params, npts, fs, response=None):
+    sens = float(response.sensitivity if response is not None
+                 else params.get("sensitivity", 1.0))
+
+    def fn(x):
+        return x / jnp.asarray(sens, x.dtype)
+    return _Stage(fn, npts, fs)
+
+
+def _stage_remove_response(params, npts, fs, response=None):
+    from .inventory import flat_response
+    from .trace import _cosine_sac_taper, _invert_spectrum_water_level
+    resp = response if response is not None else flat_response()
+    water_level = params.get("water_level", 60.0)
+    output = params.get("output", "VEL")
+    pre_filt = params.get("pre_filt")
+
+    nfft = ops.fft.next_fast_len(2 * npts)
+    freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
+    r = resp.evaluate(freqs, output=output)
+    inv_r = _invert_spectrum_water_level(r, water_level)
+    if pre_filt is not None:
+        inv_r = inv_r * _cosine_sac_taper(freqs, pre_filt)
+    def fn(x, inv_r64=inv_r):
+        cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+        X = jnp.fft.rfft(x, n=nfft, axis=-1)
+        return jnp.fft.irfft(X * jnp.asarray(inv_r64, cdtype), n=nfft,
+                             axis=-1)[..., :npts].astype(x.dtype)
+    return _Stage(fn, npts, fs)
+
+
+def _stage_normalize(params, npts, fs):
+    def fn(x):
+        m = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        return x / jnp.where(m == 0, 1.0, m)
+    return _Stage(fn, npts, fs)
+
+
+def _stage_running_rms(params, npts, fs):
+    window = float(params.get("window", 60.0))
+    win_n = int(round(window * fs))
+    nwin = npts // win_n
+
+    def fn(x):
+        y = x[..., : nwin * win_n]
+        y = y.reshape(y.shape[:-1] + (nwin, win_n))
+        return jnp.sqrt(jnp.mean(y * y, axis=-1))
+    return _Stage(fn, nwin, 1.0 / window)
+
+
+_STAGES = {
+    "detrend": _stage_detrend,
+    "taper": _stage_taper,
+    "filter": _stage_filter,
+    "decimate": _stage_decimate,
+    "interpolate": _stage_interpolate,
+    "normalize": _stage_normalize,
+    "running_rms": _stage_running_rms,
+}
+
+
+def compile_operations(operations, npts: int, sampling_rate: float,
+                       response=None, trim_to: int = None,
+                       jit: bool = True):
+    """Compile a channel's operation list into one device function.
+
+    Parameters
+    ----------
+    operations : list of ``(op, params)`` (the DSL form)
+    npts, sampling_rate : input block geometry
+    response : optional PAZResponse for remove_response/sensitivity
+    trim_to : optionally slice the final output to this many samples
+        (the 'trim' op equivalent once buffers are removed)
+
+    Returns
+    -------
+    (fn, npts_out, fs_out): ``fn(x: (batch, npts)) -> (batch, npts_out)``.
+    Host-only ops in the list (merge/select/rotate/trim) are skipped —
+    they must run at the edge before densification.
+    """
+    stages = []
+    fs = float(sampling_rate)
+    n = int(npts)
+    for op, params in operations:
+        if op in HOST_OPS:
+            continue
+        if op not in _STAGES and op not in ("remove_sensitivity",
+                                            "remove_response"):
+            raise NotImplementedError(f"op {op!r} not device-compilable")
+        if op == "remove_sensitivity":
+            st = _stage_remove_sensitivity(params, n, fs, response)
+        elif op == "remove_response":
+            st = _stage_remove_response(params, n, fs, response)
+        else:
+            st = _STAGES[op](params, n, fs)
+        stages.append(st)
+        n, fs = st.npts_out, st.fs_out
+
+    if trim_to is not None and trim_to < n:
+        npts_final = int(trim_to)
+
+        def trim_stage(x, k=npts_final):
+            return x[..., :k]
+        stages.append(_Stage(trim_stage, npts_final, fs))
+        n = npts_final
+
+    def chain(x):
+        for st in stages:
+            x = st.fn(x)
+        return x
+
+    return (jax.jit(chain) if jit else chain), n, fs

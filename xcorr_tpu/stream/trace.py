@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import scipy.signal as sp_signal
-from scipy.fft import next_fast_len
+from ..ops.fft import next_fast_len
 
 __all__ = ["UTCDateTime", "Stats", "Trace", "Stream"]
 
