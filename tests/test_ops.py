@@ -201,3 +201,33 @@ class TestSpectrogram:
         np.testing.assert_allclose(freqs, f_sp)
         np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-7,
                                    atol=1e-12)
+
+
+class TestFourStep:
+    """The four-step pruned correlation must agree with the monolithic
+    kernel bit-for-bit at f32 tolerance."""
+
+    @pytest.mark.parametrize("n,imin,imax", [
+        (1000, 0, 1999), (1000, 999, 1500), (1000, 200, 900),
+        (5000, 4999, 6999), (1000, 500, 1500)])
+    def test_matches_monolithic(self, n, imin, imax):
+        from xcorr_tpu.ops.fft4 import correlate4
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=(2, n)).astype(np.float32)
+        y = rng.normal(size=(2, n)).astype(np.float32)
+        want = np.asarray(ops.cc.correlate(
+            jnp.asarray(x), jnp.asarray(y), index_min=imin,
+            index_max=imax))
+        got = np.asarray(correlate4(x, y, index_min=imin, index_max=imax,
+                                    n1=64))
+        np.testing.assert_allclose(got, want, atol=5e-7)
+
+    def test_unnormalized(self):
+        from xcorr_tpu.ops.fft4 import correlate4
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 512)).astype(np.float32)
+        y = rng.normal(size=(1, 512)).astype(np.float32)
+        got = np.asarray(correlate4(x, y, normalize=False, n1=32))[0]
+        want = np.correlate(x[0].astype(np.float64),
+                            y[0].astype(np.float64), "full")
+        np.testing.assert_allclose(got, want, atol=2e-4)

@@ -10,7 +10,7 @@ Replaces the reference's third-party native hot paths (pyfftw/scipy per-trace
 calls; see SURVEY.md §2.9).
 """
 
-from . import fft, cc, filter, taper, detrend, timeshift, spectrogram
+from . import fft, fft4, cc, filter, taper, detrend, timeshift, spectrogram
 
-__all__ = ["fft", "cc", "filter", "taper", "detrend", "timeshift",
+__all__ = ["fft", "fft4", "cc", "filter", "taper", "detrend", "timeshift",
            "spectrogram"]

@@ -1,0 +1,174 @@
+r"""
+:mod:`ops.fft4` -- Four-step (Cooley-Tukey) pruned correlation kernel
+=====================================================================
+
+A hand-decomposed frequency-domain correlation for day-scale windows,
+replacing XLA's monolithic large-FFT lowering (measured at ~12 GB/s
+effective on v5e for 9.4M points) with an MXU-friendly factorization
+N = N1 x N2:
+
+* **stage A (forward)**: DFT over the slow axis as a complex *matmul*
+  ``W1[k1, n1] @ A[n1, n2]`` — rides the MXU, and prunes to the ``rows``
+  actually covered by input samples (the zero padding costs nothing);
+* **twiddle**: elementwise ``exp(-2πi k1 n2 / N)``, host-precomputed in
+  f64, stored complex64 (no on-device transcendentals);
+* **stage B**: batched length-N2 FFTs via XLA (N2 is a 2^a·{1,3,9} fast
+  size);
+* spectra multiply elementwise in the *permuted* frequency layout — the
+  correlation never needs natural frequency order, so the four-step's
+  final transpose is skipped entirely;
+* **inverse**: length-N2 iFFTs, conjugate twiddle, and a *pruned* inverse
+  DFT matmul computing only the output rows covered by the requested lag
+  window (production keeps 0..9 h of ±24 h: 17% of rows).
+
+Spec equivalence: identical math to ``ops.cc.correlate`` (reference
+``xcorr/util/cc.py:22-79``); oracle-tested against it.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fft import next_fast_len
+
+__all__ = ["plan_correlate4", "correlate4"]
+
+
+def _pick_factors(nn: int, n1: int = 512):
+    """N1 x N2 >= nn with N2 a TPU-fast length."""
+    n2 = next_fast_len((nn + n1 - 1) // n1)
+    return n1, n2
+
+
+@lru_cache(maxsize=8)
+def _plan(n: int, index_min: int, index_max: int, n1: int):
+    """Static plan: factor geometry, twiddles and DFT matrices (host f64,
+    stored complex64)."""
+    nn = 2 * n - 1
+    N1, N2 = _pick_factors(nn, n1)
+    N = N1 * N2
+
+    rows_in = (n + N2 - 1) // N2  # input rows covered by n samples
+
+    k1 = np.arange(N1)
+    # forward DFT matrix over the slow axis, pruned to input rows
+    W1 = np.exp(-2j * np.pi * np.outer(k1, np.arange(rows_in)) / N1)
+    # twiddle W_N^(k1 * n2)
+    T = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / N)
+
+    # output rows covered by the circular lag gather:
+    # fftshifted lag index i in [index_min, index_max) lives at circular
+    # index (i - (n-1)) mod N; that index range maps to row range(s)
+    z = n - 1
+    segs = []
+    if index_max <= z:
+        segs.append((N + index_min - z, N + index_max - z))
+    elif index_min >= z:
+        segs.append((index_min - z, index_max - z))
+    else:
+        segs.append((N + index_min - z, N))
+        segs.append((0, index_max - z))
+    row_lo = min(s[0] // N2 for s in segs)
+    row_hi = max((s[1] - 1) // N2 for s in segs) + 1
+    # contiguity: the negative-lag segment sits at the very top rows and
+    # the positive at the bottom; handle both by computing the union of
+    # two row ranges when split
+    if len(segs) == 2:
+        rows_sets = [(segs[0][0] // N2, N1),
+                     (0, (segs[1][1] - 1) // N2 + 1)]
+    else:
+        rows_sets = [(row_lo, row_hi)]
+
+    out_rows = []
+    for lo, hi in rows_sets:
+        out_rows.extend(range(lo, hi))
+    out_rows = np.asarray(sorted(set(out_rows)), dtype=np.int64)
+
+    # pruned inverse DFT matrix: rows n1 in out_rows only. jnp.fft.ifft
+    # on the fast axis already contributes 1/N2, so 1/N1 completes 1/N.
+    W1inv = np.exp(+2j * np.pi * np.outer(out_rows, k1) / N1) / N1
+
+    # map requested lag indices into the pruned (row, col) layout
+    # circular index c = row * N2 + col; pruned row position p(row)
+    row_pos = {r: i for i, r in enumerate(out_rows)}
+    gather = np.empty(index_max - index_min, dtype=np.int64)
+    for j, i in enumerate(range(index_min, index_max)):
+        c = (i - z) % N
+        gather[j] = row_pos[c // N2] * N2 + (c % N2)
+
+    return {
+        "N1": N1, "N2": N2, "N": N, "rows_in": rows_in,
+        "W1": W1.astype(np.complex64),
+        "T": T.astype(np.complex64),
+        "W1inv": W1inv.astype(np.complex64),
+        "out_rows": out_rows,
+        "gather": gather,
+    }
+
+
+def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
+                    n1: int = 512, normalize: bool = True):
+    """Build the jitted four-step correlation ``f(x, y) -> ccf``.
+
+    x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
+    fftshifted lag order, identical (to f32 tolerance) to
+    :func:`ops.cc.correlate`.
+    """
+    nn = 2 * n - 1
+    index_min = 0 if index_min is None else index_min
+    index_max = nn if index_max is None else index_max
+    p = _plan(n, index_min, index_max, n1)
+    N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
+
+    # constants stay host-side as float32 pairs: some PJRT backends
+    # (axon tunnel) cannot transfer complex arrays in either direction,
+    # so the complex twiddles/DFT matrices are formed on device inside
+    # the traced function
+    W1_re, W1_im = p["W1"].real.copy(), p["W1"].imag.copy()
+    T_re, T_im = p["T"].real.copy(), p["T"].imag.copy()
+    Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
+    gather = p["gather"]
+
+    def forward(v, W1, T):
+        # (B, n) real -> (B, N1, N2) spectrum in permuted layout
+        pad = rows_in * N2 - n
+        A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
+        A = A.astype(jnp.complex64)
+        Ah = jnp.einsum("kr,brj->bkj", W1, A)    # MXU stage
+        Ah = Ah * T
+        return jnp.fft.fft(Ah, axis=-1)          # stage B (N2 fast)
+
+    @jax.jit
+    def corr(x, y):
+        W1 = jax.lax.complex(jnp.asarray(W1_re), jnp.asarray(W1_im))
+        T = jax.lax.complex(jnp.asarray(T_re), jnp.asarray(T_im))
+        W1inv = jax.lax.complex(jnp.asarray(Wi_re), jnp.asarray(Wi_im))
+        Tc = jnp.conj(T)
+        Fx = forward(x, W1, T)
+        Fy = forward(y, W1, T)
+        S = Fx * jnp.conj(Fy)
+        C = jnp.fft.ifft(S, axis=-1)              # (B, N1, N2)
+        C = C * Tc
+        out = jnp.einsum("rk,bkj->brj", W1inv, C)  # pruned MXU stage
+        out = out.real.reshape(x.shape[0], -1)
+        r = out[:, gather]
+        if normalize:
+            nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+            denom = nx * ny
+            r = r / jnp.where(denom == 0, 1.0, denom)
+        return r.astype(x.dtype)
+
+    return corr
+
+
+def correlate4(x, y, index_min: int = None, index_max: int = None,
+               normalize: bool = True, n1: int = 512):
+    """One-shot four-step correlation (plans and jits per shape)."""
+    fn = plan_correlate4(x.shape[-1], index_min, index_max, n1=n1,
+                         normalize=normalize)
+    return fn(x, y)

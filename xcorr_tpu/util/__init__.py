@@ -7,13 +7,15 @@ SEED-id/geodesy receiver helpers and correlation lag math
 (reference layer: ``xcorr/util/``).
 """
 
-from . import cc, geo, hasher, history, metadata, receiver, time, convert
+from . import (cc, geo, hasher, history, metadata, profiler,
+               receiver, time, convert)
 from .hasher import (hash, hash_obj, hash_Trace, hash_Stream, hash_DataArray,
                      hash_Dataset)
 from .history import historicize
 from .time import to_seconds, to_datetime, get_dates, update_lag_indices
 
-__all__ = ["cc", "geo", "hasher", "history", "metadata", "receiver", "time",
+__all__ = ["cc", "geo", "hasher", "history", "metadata", "profiler",
+           "receiver", "time",
            "convert", "hash", "hash_obj", "hash_Trace", "hash_Stream",
            "hash_DataArray", "hash_Dataset", "historicize", "to_seconds",
            "to_datetime", "get_dates", "update_lag_indices"]

@@ -1,0 +1,122 @@
+r"""
+:mod:`util.profiler` -- Performance observability
+=================================================
+
+The reference's only observability is the Dask dashboard link
+(``xcorr/scripts/utils.py:72``) and completion percentages
+(``xcorr/core/lazy.py:363-367``); SURVEY.md §5 calls for JAX profiler
+hooks plus per-stage wall/throughput counters. This module provides both:
+
+* :class:`StageTimer` — lightweight nested wall-clock/throughput counters
+  for pipeline stages (host IO, device compute, writes), with a one-line
+  report.
+* :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable device trace.
+* :func:`device_memory` — current device memory stats where the backend
+  exposes them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+
+__all__ = ["StageTimer", "trace", "device_memory"]
+
+
+class StageTimer:
+    """Accumulate per-stage wall time and optional byte/item throughput.
+
+    >>> timer = StageTimer()
+    >>> with timer("ingest", nbytes=123456):
+    ...     pass
+    >>> print(timer.report())
+    """
+
+    def __init__(self):
+        self._wall = defaultdict(float)
+        self._bytes = defaultdict(int)
+        self._items = defaultdict(int)
+        self._calls = defaultdict(int)
+
+    @contextlib.contextmanager
+    def __call__(self, stage: str, nbytes: int = 0, items: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield self
+        finally:
+            self._wall[stage] += time.perf_counter() - t0
+            self._bytes[stage] += nbytes
+            self._items[stage] += items
+            self._calls[stage] += 1
+
+    def add(self, stage: str, seconds: float, nbytes: int = 0,
+            items: int = 0):
+        self._wall[stage] += seconds
+        self._bytes[stage] += nbytes
+        self._items[stage] += items
+        self._calls[stage] += 1
+
+    @property
+    def stages(self):
+        return dict(self._wall)
+
+    def as_dict(self):
+        out = {}
+        for stage, wall in self._wall.items():
+            entry = {"wall_s": round(wall, 4),
+                     "calls": self._calls[stage]}
+            if self._bytes[stage]:
+                entry["GB"] = round(self._bytes[stage] / 1e9, 3)
+                entry["GB_per_s"] = round(
+                    self._bytes[stage] / 1e9 / wall, 3) if wall else None
+            if self._items[stage]:
+                entry["items"] = self._items[stage]
+                entry["items_per_s"] = round(
+                    self._items[stage] / wall, 3) if wall else None
+            out[stage] = entry
+        return out
+
+    def report(self, as_json: bool = False):
+        d = self.as_dict()
+        if as_json:
+            return json.dumps(d)
+        total = sum(self._wall.values())
+        lines = []
+        for stage, entry in sorted(d.items(), key=lambda kv:
+                                   -kv[1]["wall_s"]):
+            pct = 100 * entry["wall_s"] / total if total else 0
+            extra = ""
+            if "GB_per_s" in entry and entry["GB_per_s"]:
+                extra += f" {entry['GB_per_s']:.2f} GB/s"
+            if "items_per_s" in entry and entry["items_per_s"]:
+                extra += f" {entry['items_per_s']:.1f} items/s"
+            lines.append(f"  {stage:<24s} {entry['wall_s']:8.3f} s "
+                         f"({pct:4.1f}%) x{entry['calls']}{extra}")
+        return "\n".join([f"Stage timings ({total:.3f} s total):"] + lines)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/xcorr_tpu_trace"):
+    """Capture a JAX device trace viewable in TensorBoard/Perfetto."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory():
+    """Per-device memory stats (bytes) where the backend exposes them."""
+    import jax
+    out = {}
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except (AttributeError, NotImplementedError, RuntimeError):
+            stats = None
+        out[str(d)] = stats
+    return out
