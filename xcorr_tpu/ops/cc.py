@@ -68,11 +68,41 @@ def lag_slice_of_circular(r, npts: int, nfft: int, index_min: int,
     return jnp.concatenate([neg, pos], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("normalize", "index_min", "index_max",
-                                   "unbiased", "nfft", "clip_weight"))
+# windows at least this long route to the four-step pruned kernel on
+# accelerator backends (measured 3.6x on v5e at day scale; see ops/fft4.py)
+FOURSTEP_THRESHOLD = 1 << 20
+
+
 def correlate(x, y, *, normalize: bool = True, index_min: int = None,
               index_max: int = None, unbiased: bool = False,
-              nfft: int = None, clip_weight: float = None):
+              nfft: int = None, clip_weight: float = None,
+              method: str = "auto"):
+    """Dispatch wrapper: monolithic kernel for small windows (and exact
+    f64 oracle work), four-step pruned kernel for day-scale windows on
+    accelerators. ``method``: 'auto' | 'monolithic' | 'fourstep'."""
+    n = x.shape[-1]
+    use4 = method == "fourstep" or (
+        method == "auto" and nfft is None and not unbiased
+        and n >= FOURSTEP_THRESHOLD
+        and jax.default_backend() != "cpu"
+        and x.dtype == jnp.float32)
+    if use4:
+        from .fft4 import plan_correlate4
+        fn = plan_correlate4(n, index_min, index_max,
+                             normalize=normalize)
+        return fn(x, y)
+    return _correlate_monolithic(
+        x, y, normalize=normalize, index_min=index_min,
+        index_max=index_max, unbiased=unbiased, nfft=nfft,
+        clip_weight=clip_weight)
+
+
+@partial(jax.jit, static_argnames=("normalize", "index_min", "index_max",
+                                   "unbiased", "nfft", "clip_weight"))
+def _correlate_monolithic(x, y, *, normalize: bool = True,
+                          index_min: int = None, index_max: int = None,
+                          unbiased: bool = False, nfft: int = None,
+                          clip_weight: float = None):
     """Batched normalized cross-correlation along the last axis.
 
     Parameters

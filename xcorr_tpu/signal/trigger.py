@@ -20,7 +20,7 @@ from ..util.time import to_datetime
 from ._helpers import get_dim
 
 __all__ = ["coincidence_trigger", "trigger_periods", "trigger_values",
-           "trigger_onset"]
+           "trigger_onset", "plot_trigs"]
 
 
 def trigger_onset(charfct, thr_on: float, thr_off: float):
@@ -195,3 +195,10 @@ def _to_dataframe(da, dim):
     out = {d: m.reshape(-1) for d, m in zip(order, mesh)}
     out[da.name or "value"] = data.reshape(-1)
     return pd.DataFrame(out)
+
+
+def plot_trigs(x, trigs, ax=None, ylim=None):
+    """Plot characteristic functions with triggered periods shaded
+    (reference ``xcorr/signal/trigger.py:269-299``)."""
+    from ..core.plot import plot_snr_ct
+    return plot_snr_ct(x, trigs, ax=ax)

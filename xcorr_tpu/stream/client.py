@@ -38,8 +38,8 @@ class Client:
 
     def __init__(self, sds_root: str = None, sds_root_write: str = None,
                  sds_root_read=None, fdsn_base_url: str = None,
-                 parallel: bool = False, max_gap: float = 300.0,
-                 verb: int = 0, **kwargs):
+                 vdms_request=None, parallel: bool = False,
+                 max_gap: float = 300.0, verb: int = 0, **kwargs):
         if not (sds_root or sds_root_read or sds_root_write):
             if not isinstance(self, SyntheticClient):
                 raise AttributeError(
@@ -58,6 +58,8 @@ class Client:
         self.write_archive = (SDSArchive(self.sds_root_write)
                               if self.sds_root_write else None)
         self.fdsn_base_url = fdsn_base_url
+        from .vdms import VDMSClient
+        self.vdms = VDMSClient(vdms_request)
         self.parallel = parallel
         self.max_gap = max_gap
         self.verb = verb
@@ -92,7 +94,11 @@ class Client:
             if len(st):
                 return st
         if download:
+            # waterfall tier 2: FDSN web service
             st = self._remote_fetch(receiver, date, verb=verb)
+            # waterfall tier 3: VDMS (CTBTO IMS), when configured
+            if (not st or not len(st)) and self.vdms.available():
+                st = self.vdms.get_waveforms(receiver, date, verb=verb)
             if st and len(st):
                 if self.write_archive:
                     self.write_archive.write(st, verb=verb)

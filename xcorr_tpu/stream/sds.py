@@ -57,17 +57,29 @@ class SDSArchive:
         return Stream(traces)
 
     def write(self, stream: Stream, verb: int = 0):
-        """Write each trace into its day slot (whole-day replace)."""
+        """Write each trace into its day slot.
+
+        Concurrent writers to the same day file are serialized with an
+        fcntl advisory lock — the host-side analogue of the reference's
+        per-SEED-id ``distributed.Lock`` (``xcorr/stream/client.py:
+        321-323``; unlocked parallel SDS access corrupts files there).
+        """
+        import fcntl
         for tr in stream:
             s = tr.stats
             path = self.path(s.network, s.station, s.location, s.channel,
                              s.starttime)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            if self.format == "mseed":
-                from ..native.mseed import write_mseed
-                write_mseed(path, tr)
-            else:
-                write_dayfile_h5(path, tr)
+            with open(path + ".lock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if self.format == "mseed":
+                        from ..native.mseed import write_mseed
+                        write_mseed(path, tr)
+                    else:
+                        write_dayfile_h5(path, tr)
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
             if verb > 0:
                 print(f"SDS write: {path}")
 
