@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: repeated bench runs skip the multi-minute
+# AOT compile of the day-scale kernels
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 def measure_device(n, B, imin, imax, iters=10):
     """Steady-state time per batch on the active JAX backend.

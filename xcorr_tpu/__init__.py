@@ -21,13 +21,14 @@ from . import signal  # noqa: F401  (registers .signal accessor)
 from . import core  # noqa: F401  (registers ds.xcorr accessor)
 from . import parallel  # noqa: F401
 
-from .core import init, process, postprocess, merge
+from .core import init, process, postprocess, merge, plot
 from .core.lazy import lazy_process, lazy_processes
 from .io import read, write, mfread, validate, validate_list, ncfile
 from .stream import Client, SyntheticClient, Inventory
 
 __all__ = ["ndlabel", "util", "ops", "io", "stream", "signal", "core",
-           "parallel", "init", "process", "postprocess", "merge", "read",
+           "parallel", "init", "process", "postprocess", "merge", "plot",
+           "read",
            "write", "mfread", "validate", "validate_list", "ncfile",
            "lazy_process", "lazy_processes", "Client", "SyntheticClient",
            "Inventory", "__version__"]

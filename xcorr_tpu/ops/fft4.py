@@ -110,13 +110,47 @@ def _plan(n: int, index_min: int, index_max: int, n1: int):
     }
 
 
+def _freq_reverse2(Z):
+    """Frequency reversal Z(-k) in the permuted (k1, k2) layout.
+
+    k = k2*N1 + k1, so -k mod N maps to k1' = (-k1) % N1 with a carry
+    into the fast axis: k2' = (-k2) % N2 when k1 == 0 but
+    (-k2 - 1) % N2 when k1 > 0 — the reversal is NOT independent per
+    axis. Row-reverse first, then: row 0 gets the head-fixed column
+    reversal, rows 1.. get the plain flip (b -> N2-1-b = -b-1 mod N2).
+    """
+    def rev_headfix(a, axis):
+        head = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+        tail = jnp.flip(jax.lax.slice_in_dim(a, 1, a.shape[axis],
+                                             axis=axis), axis=axis)
+        return jnp.concatenate([head, tail], axis=axis)
+
+    R = rev_headfix(Z, -2)  # rows: a -> (-a) % N1
+    row0 = rev_headfix(jax.lax.slice_in_dim(R, 0, 1, axis=-2), -1)
+    rest = jnp.flip(jax.lax.slice_in_dim(R, 1, R.shape[-2], axis=-2),
+                    axis=-1)
+    return jnp.concatenate([row0, rest], axis=-2)
+
+
+@lru_cache(maxsize=32)
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
-                    n1: int = 512, normalize: bool = True):
+                    n1: int = 576, normalize: bool = True,
+                    packed: bool = False):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
 
     x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
     fftshifted lag order, identical (to f32 tolerance) to
     :func:`ops.cc.correlate`.
+
+    ``packed=True`` runs ONE complex forward transform of ``x + i y`` and
+    recovers the cross-spectrum via the Hermitian split
+    ``S = (i/4)(|Z|^2 - |Z(-k)|^2) + (1/2) Im(Z * Z(-k))``. Measured on
+    v5e it is NOT a win (the frequency-reversal pass costs what the saved
+    transform gains, and |Z|^2 differencing loses ~1e-4 accuracy), so the
+    default stays False; a fused Pallas reversal could revisit this.
+
+    Swept on v5e at day scale: n1=576 -> 17.9 pair-days/s, 1024 -> 17.3,
+    1152/2304 -> 16.2, 512 -> 16.4, 256 -> 11.5 (monolithic: 4.8).
     """
     nn = 2 * n - 1
     index_min = 0 if index_min is None else index_min
@@ -148,9 +182,17 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
         T = jax.lax.complex(jnp.asarray(T_re), jnp.asarray(T_im))
         W1inv = jax.lax.complex(jnp.asarray(Wi_re), jnp.asarray(Wi_im))
         Tc = jnp.conj(T)
-        Fx = forward(x, W1, T)
-        Fy = forward(y, W1, T)
-        S = Fx * jnp.conj(Fy)
+        if packed:
+            Z = forward(jax.lax.complex(x, y), W1, T)
+            Zr = _freq_reverse2(Z)
+            mag = Z.real * Z.real + Z.imag * Z.imag
+            mag_r = _freq_reverse2(mag)
+            prod_im = (Z * Zr).imag
+            S = jax.lax.complex(0.5 * prod_im, 0.25 * (mag - mag_r))
+        else:
+            Fx = forward(x.astype(jnp.complex64), W1, T)
+            Fy = forward(y.astype(jnp.complex64), W1, T)
+            S = Fx * jnp.conj(Fy)
         C = jnp.fft.ifft(S, axis=-1)              # (B, N1, N2)
         C = C * Tc
         out = jnp.einsum("rk,bkj->brj", W1inv, C)  # pruned MXU stage
