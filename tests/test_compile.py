@@ -125,3 +125,48 @@ class TestCompiledChains:
         assert n_out == 800
         out = np.asarray(fn(np.ones((1, 1000))))
         assert out.shape == (1, 800)
+
+
+class TestFusedPipeline:
+    def test_device_pipeline_matches_host_process(self):
+        """The fused device pipeline must reproduce the host path
+        (core.process semantics) on identical raw blocks."""
+        import jax.numpy as jnp
+        from xcorr_tpu import ops
+        from xcorr_tpu.parallel import FusedPipeline
+        from xcorr_tpu.stream.process import process as host_process
+
+        fs, dur = 10.0, 2000.0
+        npts_raw = int(dur * fs)
+        npts = int(1800.0 * fs)  # correlation window after trim
+        ops_list = [
+            ("detrend", {"type": "demean"}),
+            ("filter", {"type": "bandpass", "freqmin": 0.3,
+                        "freqmax": 3.0}),
+            ("taper", {"type": "cosine", "max_percentage": 0.05}),
+        ]
+        rng = np.random.default_rng(0)
+        B = 3
+        x_raw = rng.normal(size=(B, npts_raw))
+        y_raw = rng.normal(size=(B, npts_raw))
+
+        pipe = FusedPipeline(ops_list, ops_list, npts_raw, fs, npts_raw,
+                             fs, npts, index_min=npts - 1,
+                             index_max=npts - 1 + 500)
+        got = pipe(x_raw, y_raw)
+        assert got.shape == (B, 500)
+
+        # host path: per-trace preprocessing then the oracle correlator
+        for b in range(B):
+            tra = Trace(x_raw[b].copy(), Stats(network="IU", station="A",
+                                               location="", channel="BHZ",
+                                               sampling_rate=fs))
+            trb = Trace(y_raw[b].copy(), Stats(network="IU", station="B",
+                                               location="", channel="BHZ",
+                                               sampling_rate=fs))
+            a = host_process(tra, ops_list, raise_error=True).data[:npts]
+            c = host_process(trb, ops_list, raise_error=True).data[:npts]
+            want = np.asarray(ops.cc.correlate(
+                jnp.asarray(a[None]), jnp.asarray(c[None]),
+                index_min=npts - 1, index_max=npts - 1 + 500))[0]
+            np.testing.assert_allclose(got[b], want, atol=1e-5)

@@ -10,6 +10,7 @@ fan-out (SURVEY.md §2.8 P1/P2).
 from .mesh import make_mesh, batch_sharding
 from .batch import sharded_correlate, BatchEngine
 from .distributed import initialize, host_slice
+from .pipeline import FusedPipeline
 
 __all__ = ["make_mesh", "batch_sharding", "sharded_correlate",
-           "BatchEngine", "initialize", "host_slice"]
+           "BatchEngine", "initialize", "host_slice", "FusedPipeline"]

@@ -1,0 +1,81 @@
+r"""
+:mod:`parallel.pipeline` -- Fused production pipeline
+=====================================================
+
+The full TPU production path: raw day-waveform blocks -> per-channel
+compiled preprocess chains -> batched cross-correlation, all inside ONE
+jitted step (optionally sharded over the mesh batch axis). This is the
+end-state of SURVEY.md §7 steps 3-5: where :func:`xcorr_tpu.core.process`
+still preprocesses per trace on the host (matching reference semantics
+exactly), this pipeline keeps everything after gap-filling on device.
+
+Flow per (pair, day):
+
+1. host: fetch + merge the raw buffered windows for both receivers
+   (irregular work: gaps, multi-record days);
+2. device: ``chain_a(x), chain_b(y)`` — the hashed DSL ops compiled by
+   :func:`xcorr_tpu.stream.compile.compile_operations` — then the
+   four-step correlation with fused normalization and lag clipping;
+3. host: scatter results into the dataset / shard writer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..stream.compile import compile_operations
+
+__all__ = ["FusedPipeline"]
+
+
+class FusedPipeline:
+    """One compiled executable: preprocess both channels + correlate.
+
+    Parameters
+    ----------
+    ops_a, ops_b : the two receivers' DSL operation lists
+    npts_raw_a, npts_raw_b : raw input block lengths (buffered windows)
+    fs_a, fs_b : raw input sampling rates
+    npts : correlation window length after preprocessing (samples)
+    index_min, index_max : clipped lag window
+    response_a, response_b : optional PAZ responses
+    """
+
+    def __init__(self, ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b,
+                 npts, index_min=None, index_max=None, normalize=True,
+                 response_a=None, response_b=None):
+        chain_a, n_a, fs_out_a = compile_operations(
+            ops_a, npts_raw_a, fs_a, response=response_a, jit=False)
+        chain_b, n_b, fs_out_b = compile_operations(
+            ops_b, npts_raw_b, fs_b, response=response_b, jit=False)
+        if abs(fs_out_a - fs_out_b) > 1e-9:
+            raise ValueError(
+                f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
+        if n_a < npts or n_b < npts:
+            raise ValueError(
+                f"chains produce too few samples ({n_a}, {n_b}) for "
+                f"npts={npts}")
+        self.npts = npts
+        self.sampling_rate = fs_out_a
+        self.index_min = index_min
+        self.index_max = index_max
+
+        def step(x_raw, y_raw):
+            xa = chain_a(x_raw)[..., :npts]
+            yb = chain_b(y_raw)[..., :npts]
+            return ops.cc.correlate(
+                xa, yb, normalize=normalize, index_min=index_min,
+                index_max=index_max)
+
+        self._step = jax.jit(step)
+
+    def __call__(self, x_raw, y_raw):
+        """(B, npts_raw_a), (B, npts_raw_b) float32 -> (B, nlag)
+        float32."""
+        return np.asarray(self._step(jnp.asarray(x_raw),
+                                     jnp.asarray(y_raw)))
