@@ -162,3 +162,45 @@ class TestPlmaxScript:
                                       "btype": "highpass", "order": 2})
         assert df is not None
         assert "value" in df.columns and len(df) > 0
+
+
+class TestCliMains:
+    """End-to-end main() coverage for the remaining console scripts."""
+
+    def test_beamform_main(self, archive, tmp_path):
+        from xcorr_tpu.scripts import beamform
+        inv_json = str(tmp_path / "inv.json")
+        _inventory().to_json(inv_json)
+        out = str(tmp_path / "bf.nc")
+        rc = beamform.main([
+            "2014-01-01", "2014-01-02", "--root", archive,
+            "--pair", PAIRS[0], "--pair", PAIRS[1], "--pair", PAIRS[2],
+            "--inventory", inv_json, "--filter-freq", "0.5",
+            "--celerity", "1400", "90000000", "--out", out,
+            "--institution", "t", "--author", "t", "--source", "t"])
+        assert rc == 0 and os.path.exists(out)
+        bf = xcorr_tpu.io.from_netcdf(out)
+        assert "doa" in bf
+
+    def test_timelapse_main(self, archive, tmp_path):
+        from xcorr_tpu.scripts import timelapse
+        out = str(tmp_path / "tl.nc")
+        rc = timelapse.main([
+            "all", "--start", "2014-01-01", "--end", "2014-01-02",
+            "--root", archive, "--pair", PAIRS[0],
+            "--freq", "0.4", "1.0", "--filter-freq", "0.5",
+            "--duration", "10.0",
+            "--celerity", "1400", "90000000", "--out", out,
+            "--institution", "t", "--author", "t", "--source", "t"])
+        assert rc == 0 and os.path.exists(out)
+        tl = xcorr_tpu.io.from_netcdf(out)
+        assert "cc2" in tl
+
+    def test_plmax_main(self, archive, tmp_path):
+        from xcorr_tpu.scripts import plmax
+        out = str(tmp_path / "plmax.csv")
+        rc = plmax.main([
+            "2014-01-01", "2014-01-02", "--root", archive,
+            "--pair", PAIRS[0], "--celerity", "1400", "90000000",
+            "--min-distance", "5", "--filter-freq", "0.5", "--out", out])
+        assert rc == 0 and os.path.exists(out)

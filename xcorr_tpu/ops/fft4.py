@@ -44,6 +44,20 @@ def _pick_factors(nn: int, n1: int = 512):
     return n1, n2
 
 
+def _split_pq(n2: int):
+    """Factor N2 = P x Q with P, Q as close to sqrt(N2) as possible."""
+    best = None
+    p = int(np.sqrt(n2))
+    while p >= 2:
+        if n2 % p == 0:
+            best = (max(p, n2 // p), min(p, n2 // p))
+            break
+        p -= 1
+    if best is None:
+        raise ValueError(f"N2={n2} has no usable factorization")
+    return best
+
+
 @lru_cache(maxsize=8)
 def _plan(n: int, index_min: int, index_max: int, n1: int):
     """Static plan: factor geometry, twiddles and DFT matrices (host f64,
@@ -135,7 +149,7 @@ def _freq_reverse2(Z):
 @lru_cache(maxsize=32)
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
                     n1: int = 576, normalize: bool = True,
-                    packed: bool = False):
+                    packed: bool = False, stageb: str = "fft"):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
 
     x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
@@ -149,9 +163,18 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     transform gains, and |Z|^2 differencing loses ~1e-4 accuracy), so the
     default stays False; a fused Pallas reversal could revisit this.
 
+    ``stageb='matmul'`` replaces the fast-axis XLA FFT by a second
+    Cooley-Tukey split N2 = P x Q executed as two more MXU matmuls (a
+    fully matmul "six-step" transform). The spectrum's fast-axis order is
+    then doubly permuted; the inverse runs the exact adjoint, so the
+    correlation is unaffected.
+
     Swept on v5e at day scale: n1=576 -> 17.9 pair-days/s, 1024 -> 17.3,
     1152/2304 -> 16.2, 512 -> 16.4, 256 -> 11.5 (monolithic: 4.8).
     """
+    if packed and stageb == "matmul":
+        raise ValueError("packed Hermitian split assumes natural fast-axis "
+                         "frequency order; use stageb='fft' with packed")
     nn = 2 * n - 1
     index_min = 0 if index_min is None else index_min
     index_max = nn if index_max is None else index_max
@@ -167,6 +190,53 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
     gather = p["gather"]
 
+    if stageb == "matmul":
+        P, Q = _split_pq(N2)
+        WP = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(P))
+                    / P).astype(np.complex64)
+        WQ = np.exp(-2j * np.pi * np.outer(np.arange(Q), np.arange(Q))
+                    / Q).astype(np.complex64)
+        # inner twiddle W_{N2}^(q * k_p), laid out (k_p=P, q=Q)
+        T2 = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(Q))
+                    / N2).astype(np.complex64)
+        _consts2 = {
+            "WP": (WP.real.copy(), WP.imag.copy()),
+            "WQ": (WQ.real.copy(), WQ.imag.copy()),
+            "T2": (T2.real.copy(), T2.imag.copy()),
+        }
+
+        def load2():
+            c = {k: jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
+                 for k, (re, im) in _consts2.items()}
+            return c["WP"], c["WQ"], c["T2"]
+
+        def fwd2(a):
+            # DFT over the last axis (length N2) as two matmuls; output
+            # in permuted (k_p, k_q) layout flattened to N2
+            WPj, WQj, T2j = load2()
+            shp = a.shape[:-1]
+            A = a.reshape(shp + (P, Q))          # n2 = p*Q + q
+            A = jnp.einsum("kp,...pq->...kq", WPj, A)  # over p
+            A = A * T2j
+            A = jnp.einsum("lq,...kq->...kl", WQj, A)  # over q
+            return A.reshape(shp + (N2,))        # (k_p, k_q) flattened
+
+        def inv2(s):
+            # exact adjoint/N2 of fwd2: back to natural time order
+            WPj, WQj, T2j = load2()
+            shp = s.shape[:-1]
+            S2 = s.reshape(shp + (P, Q))         # (k_p, k_q)
+            S2 = jnp.einsum("lq,...kl->...kq", jnp.conj(WQj), S2) / Q
+            S2 = S2 * jnp.conj(T2j)
+            S2 = jnp.einsum("kp,...kq->...pq", jnp.conj(WPj), S2) / P
+            return S2.reshape(shp + (N2,))       # n2 = p*Q + q
+    else:
+        def fwd2(a):
+            return jnp.fft.fft(a, axis=-1)
+
+        def inv2(s):
+            return jnp.fft.ifft(s, axis=-1)
+
     def forward(v, W1, T):
         # (B, n) real -> (B, N1, N2) spectrum in permuted layout
         pad = rows_in * N2 - n
@@ -174,7 +244,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
         A = A.astype(jnp.complex64)
         Ah = jnp.einsum("kr,brj->bkj", W1, A)    # MXU stage
         Ah = Ah * T
-        return jnp.fft.fft(Ah, axis=-1)          # stage B (N2 fast)
+        return fwd2(Ah)                          # stage B
 
     @jax.jit
     def corr(x, y):
@@ -193,7 +263,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
             Fx = forward(x.astype(jnp.complex64), W1, T)
             Fy = forward(y.astype(jnp.complex64), W1, T)
             S = Fx * jnp.conj(Fy)
-        C = jnp.fft.ifft(S, axis=-1)              # (B, N1, N2)
+        C = inv2(S)                               # (B, N1, N2)
         C = C * Tc
         out = jnp.einsum("rk,bkj->brj", W1inv, C)  # pruned MXU stage
         out = out.real.reshape(x.shape[0], -1)

@@ -87,6 +87,9 @@ def main(argv=None):
     parser.add_argument("--celerity", metavar="..", type=float, nargs=2,
                         default=(1460.0, 1500.0))
     parser.add_argument("--envelope", action="store_true", default=False)
+    parser.add_argument("--filter-freq", metavar="..", type=float,
+                        default=3.0,
+                        help="Postprocess highpass corner (Hz)")
     parser.add_argument("--out", metavar="..", type=str, default=None)
     utils.add_common_arguments(parser)
     utils.add_attrs_group(parser)
@@ -104,7 +107,10 @@ def main(argv=None):
         results = list(ex.map(
             lambda d: beamform_day(args.pair, d, args.root, inventory,
                                    clim=tuple(args.celerity),
-                                   envelope=args.envelope, attrs=attrs),
+                                   envelope=args.envelope, attrs=attrs,
+                                   filter_kwargs={
+                                       "frequency": args.filter_freq,
+                                       "btype": "highpass", "order": 2}),
             days))
     keep = [(d, r) for d, r in zip(days, results) if r is not None]
     if not keep:

@@ -68,6 +68,9 @@ def main(argv=None):
                         default=25)
     parser.add_argument("--wavelet", action="store_true", default=False,
                         help="Use the CWT scaleogram instead of the STFT")
+    parser.add_argument("--filter-freq", metavar="..", type=float,
+                        default=3.0,
+                        help="Postprocess highpass corner (Hz)")
     parser.add_argument("--out", metavar="..", type=str, default=None,
                         help="Output .h5 (pandas HDF) or .csv path")
     utils.add_common_arguments(parser)
@@ -83,7 +86,10 @@ def main(argv=None):
             lambda it: plmax_day(it[0], it[1], args.root,
                                  clim=tuple(args.celerity),
                                  min_distance=args.min_distance,
-                                 wavelet=args.wavelet),
+                                 wavelet=args.wavelet,
+                                 filter_kwargs={
+                                     "frequency": args.filter_freq,
+                                     "btype": "highpass", "order": 2}),
             items))
     frames = [f for f in frames if f is not None]
     if not frames:

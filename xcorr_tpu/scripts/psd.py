@@ -69,6 +69,9 @@ def main(argv=None):
     parser.add_argument("--duration", metavar="..", type=float, default=2.5)
     parser.add_argument("--padding-factor", metavar="..", type=int,
                         default=4)
+    parser.add_argument("--filter-freq", metavar="..", type=float,
+                        default=3.0,
+                        help="Postprocess highpass corner (Hz)")
     parser.add_argument("--outdir", metavar="..", type=str, default=".")
     utils.add_common_arguments(parser)
     args = parser.parse_args(argv)
@@ -89,7 +92,10 @@ def main(argv=None):
         ds = psd_of_period(pairs, row["start"], row["end"], args.root,
                            clim=tuple(args.celerity),
                            duration=args.duration,
-                           padding_factor=args.padding_factor)
+                           padding_factor=args.padding_factor,
+                           filter_kwargs={
+                               "frequency": args.filter_freq,
+                               "btype": "highpass", "order": 2})
         if ds is None:
             return None
         out = os.path.join(

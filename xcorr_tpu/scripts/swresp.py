@@ -92,6 +92,9 @@ def main(argv=None):
                         help="Radial-component pair (…BHR)")
     parser.add_argument("--celerity", metavar="..", type=float, nargs=2,
                         default=(1460.0, 1500.0))
+    parser.add_argument("--filter-freq", metavar="..", type=float,
+                        default=3.0,
+                        help="Postprocess highpass corner (Hz)")
     parser.add_argument("--out", metavar="..", type=str, default=None)
     utils.add_common_arguments(parser)
     utils.add_attrs_group(parser)
@@ -105,7 +108,10 @@ def main(argv=None):
     with ThreadPoolExecutor(max_workers=cfg["nworkers"]) as ex:
         results = list(ex.map(
             lambda d: swresp_day(args.pair_z, args.pair_r, d, args.root,
-                                 clim=tuple(args.celerity), attrs=attrs),
+                                 clim=tuple(args.celerity), attrs=attrs,
+                                 filter_kwargs={
+                                     "frequency": args.filter_freq,
+                                     "btype": "highpass", "order": 2}),
             days))
     results = [r for r in results if r is not None]
     if not results:

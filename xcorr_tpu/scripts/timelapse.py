@@ -214,6 +214,11 @@ def main(argv=None):
                         help="Frequency band (repeatable)")
     parser.add_argument("--celerity", metavar="..", type=float, nargs=2,
                         default=(1460.0, 1500.0))
+    parser.add_argument("--filter-freq", metavar="..", type=float,
+                        default=3.0,
+                        help="Postprocess highpass corner (Hz)")
+    parser.add_argument("--duration", metavar="..", type=float,
+                        default=2.5, help="Spectrogram segment length (s)")
     parser.add_argument("--out", metavar="..", type=str, default=None)
     parser.add_argument("--init", action="store_true", default=False,
                         help="Only initialize the (time1,time2) dataset")
@@ -242,7 +247,10 @@ def main(argv=None):
         ds = init_timelapse(args.pair, times.values, freq_bands, attrs)
     else:
         ds = timelapse(args.pair, times, args.root, freq_bands=freq_bands,
-                       clim=tuple(args.celerity), attrs=attrs)
+                       clim=tuple(args.celerity), attrs=attrs,
+                       duration=args.duration,
+                       filter_kwargs={"frequency": args.filter_freq,
+                                      "btype": "highpass", "order": 2})
         if args.update and os.path.exists(args.update):
             from ..ndlabel import combine_by_coords
             old = xio.read(args.update, fast=True) or \
