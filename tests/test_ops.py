@@ -231,3 +231,34 @@ class TestFourStep:
         want = np.correlate(x[0].astype(np.float64),
                             y[0].astype(np.float64), "full")
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_pallas_stageb_interpret(self):
+        """The fused Pallas stage-B path (interpret mode on CPU) must be
+        oracle-exact vs the monolithic kernel."""
+        from jax.experimental import pallas as pl
+        from xcorr_tpu.ops import fft4, pallas_fft
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        try:
+            pallas_fft.plan_fused_stageb.cache_clear()
+            fft4.plan_correlate4.cache_clear()
+            rng = np.random.default_rng(3)
+            n, imin, imax = 2000, 1999, 3000
+            x = rng.normal(size=(2, n)).astype(np.float32)
+            y = rng.normal(size=(2, n)).astype(np.float32)
+            want = np.asarray(ops.cc.correlate(
+                jnp.asarray(x), jnp.asarray(y), index_min=imin,
+                index_max=imax))
+            fn = fft4.plan_correlate4(n, imin, imax, n1=16,
+                                      stageb="pallas")
+            got = np.asarray(fn(x, y))
+            np.testing.assert_allclose(got, want, atol=5e-7)
+        finally:
+            pl.pallas_call = orig
+            pallas_fft.plan_fused_stageb.cache_clear()
+            fft4.plan_correlate4.cache_clear()

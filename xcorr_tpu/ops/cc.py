@@ -88,8 +88,14 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
         and x.dtype == jnp.float32)
     if use4:
         from .fft4 import plan_correlate4
-        fn = plan_correlate4(n, index_min, index_max,
-                             normalize=normalize)
+        from .pallas_fft import fused_available
+        stageb = "pallas" if fused_available() else "fft"
+        try:
+            fn = plan_correlate4(n, index_min, index_max,
+                                 normalize=normalize, stageb=stageb)
+        except ValueError:  # geometry unsupported by the fused kernel
+            fn = plan_correlate4(n, index_min, index_max,
+                                 normalize=normalize)
         return fn(x, y)
     return _correlate_monolithic(
         x, y, normalize=normalize, index_min=index_min,

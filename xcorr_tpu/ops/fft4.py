@@ -172,7 +172,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     Swept on v5e at day scale: n1=576 -> 17.9 pair-days/s, 1024 -> 17.3,
     1152/2304 -> 16.2, 512 -> 16.4, 256 -> 11.5 (monolithic: 4.8).
     """
-    if packed and stageb == "matmul":
+    if packed and stageb != "fft":
         raise ValueError("packed Hermitian split assumes natural fast-axis "
                          "frequency order; use stageb='fft' with packed")
     nn = 2 * n - 1
@@ -180,6 +180,9 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     index_max = nn if index_max is None else index_max
     p = _plan(n, index_min, index_max, n1)
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
+
+    if stageb == "pallas":
+        return _build_pallas_corr(n, index_min, index_max, p, normalize)
 
     # constants stay host-side as float32 pairs: some PJRT backends
     # (axon tunnel) cannot transfer complex arrays in either direction,
@@ -278,9 +281,57 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     return corr
 
 
+def _build_pallas_corr(n, index_min, index_max, p, normalize):
+    """Four-step correlation with the fused Pallas stage-B: everything is
+    real-valued at the XLA level (x is real and only Re(output) is
+    needed), so stage-A costs 2 real MXU matmuls per signal and the
+    pruned inverse costs 2."""
+    from .pallas_fft import plan_fused_stageb
+
+    N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
+    W1_re, W1_im = p["W1"].real.copy(), p["W1"].imag.copy()
+    Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
+    gather = p["gather"]
+    fwd2, inv2 = plan_fused_stageb(N1, N2, N)
+
+    def forward(v, w1r, w1i):
+        pad = rows_in * N2 - n
+        A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
+        ah_re = jnp.einsum("kr,brj->bkj", w1r, A)
+        ah_im = jnp.einsum("kr,brj->bkj", w1i, A)
+        B = v.shape[0]
+        fr, fi = fwd2(ah_re.reshape(B * N1, N2), ah_im.reshape(B * N1, N2))
+        return fr, fi
+
+    @jax.jit
+    def corr(x, y):
+        w1r = jnp.asarray(W1_re)
+        w1i = jnp.asarray(W1_im)
+        wir = jnp.asarray(Wi_re)
+        wii = jnp.asarray(Wi_im)
+        B = x.shape[0]
+        fxr, fxi = forward(x, w1r, w1i)
+        fyr, fyi = forward(y, w1r, w1i)
+        cr, ci = inv2(fxr, fxi, fyr, fyi)
+        cr = cr.reshape(B, N1, N2)
+        ci = ci.reshape(B, N1, N2)
+        # Re(W1inv @ C): two real matmuls
+        out = (jnp.einsum("rk,bkj->brj", wir, cr)
+               - jnp.einsum("rk,bkj->brj", wii, ci))
+        r = out.reshape(B, -1)[:, jnp.asarray(gather)]
+        if normalize:
+            nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+            denom = nx * ny
+            r = r / jnp.where(denom == 0, 1.0, denom)
+        return r.astype(x.dtype)
+
+    return corr
+
+
 def correlate4(x, y, index_min: int = None, index_max: int = None,
-               normalize: bool = True, n1: int = 512):
+               normalize: bool = True, n1: int = 512, stageb: str = "fft"):
     """One-shot four-step correlation (plans and jits per shape)."""
     fn = plan_correlate4(x.shape[-1], index_min, index_max, n1=n1,
-                         normalize=normalize)
+                         normalize=normalize, stageb=stageb)
     return fn(x, y)
