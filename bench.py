@@ -85,21 +85,20 @@ def main():
     if small:
         n, B = 432_000, 8           # 2.4 h @ 50 Hz per window
         imin, imax = n - 1, n - 1 + 162_000
-        scale = 4_320_000 / n       # report as full-day equivalents? no:
-        scale = 1.0                 # keep honest: report the small config
-        days_per_batch = n * 8 / 4_320_000 / 8  # fraction of a pair-day
+        days_per_batch = n / 4_320_000  # fraction of a pair-day per batch
     else:
-        n, B = 4_320_000, 8         # 24 h @ 50 Hz, 8 windows = 1 pair-day
+        n, B = 4_320_000, 16        # 24 h @ 50 Hz; 16 windows = 2 pair-days
         imin, imax = n - 1, n - 1 + 1_620_000
-        days_per_batch = 1.0
+        days_per_batch = 2.0
 
     dt = measure_device(n, B, imin, imax,
                         iters=10 if not small else 5)
     pair_days_per_sec = days_per_batch / dt
 
     t_ref = measure_reference(n, imin, imax)
-    ref_pair_days_per_sec = (n * B / 4_320_000 / 8) / (t_ref * B) \
-        if small else 1.0 / (t_ref * 8)
+    # reference throughput: one window costs t_ref on one core; a
+    # pair-day is 8 windows
+    ref_pair_days_per_sec = (n / 4_320_000) / (t_ref * 8)
 
     print(json.dumps({
         "metric": "CCF pair-days/sec/chip at 50 Hz"
