@@ -55,7 +55,9 @@ def plane_wave_estimate(s, x, y, dim: str = None, dtype=None,
     # move rdim first, dim last -> (N, ..., n)
     order = (rdim,) + tuple(d for d in s.dims if d not in (rdim, dim)) \
         + (dim,)
-    data = jnp.asarray(s.transpose(*order).data, dtype=dtype)
+    # cast on host; jnp downcasts silently when x64 is disabled
+    data = jnp.asarray(np.asarray(s.transpose(*order).data,
+                                  dtype=dtype))
     a = data[i0]  # (M, ..., n)
     b = data[i1]
     cc = ops.cc.correlate(a, b, normalize=True)  # (M, ..., 2n-1)
