@@ -249,10 +249,10 @@ class Client:
         (``xcorr/stream/client.py:1151-1326``)."""
         rlist = []
         for r in receivers:
-            subs = split_pair(r, substitute=substitute,
-                              three_components=three_components) \
-                if substitute else [r]
-            for s in (subs if isinstance(subs, list) else [subs]):
+            # pair strings split on '-'; ``substitute`` additionally
+            # expands R/T rotated channels into raw components
+            for s in split_pair(r, substitute=substitute,
+                                three_components=three_components):
                 if s not in rlist:
                     rlist.append(s)
         times = pd.DatetimeIndex(np.asarray(times))
