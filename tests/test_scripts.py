@@ -204,3 +204,21 @@ class TestCliMains:
             "--pair", PAIRS[0], "--celerity", "1400", "90000000",
             "--min-distance", "5", "--filter-freq", "0.5", "--out", out])
         assert rc == 0 and os.path.exists(out)
+
+
+class TestTimelapseMesh:
+    def test_cells_shard_over_mesh(self, archive):
+        """P2: timelapse cell batches shard over the 8-device CPU mesh."""
+        import jax
+        from xcorr_tpu.parallel import make_mesh
+        from xcorr_tpu.scripts.timelapse import timelapse
+        assert len(jax.devices()) == 8
+        times = pd.DatetimeIndex([pd.Timestamp("2014-01-01"),
+                                  pd.Timestamp("2014-01-02")])
+        ds = timelapse(PAIRS[:1], times, archive,
+                       freq_bands=((0.4, 1.0),),
+                       clim=(1400.0, 90_000_000.0), duration=10.0,
+                       filter_kwargs={"frequency": 0.5,
+                                      "btype": "highpass", "order": 2},
+                       mesh=make_mesh(8), verb=0)
+        assert (ds["status"].values > 0).sum() > 0

@@ -78,16 +78,27 @@ def _normed(a):
     return a / jnp.where(n == 0, 1.0, n)
 
 
-def correlate_spectrograms(specs, i_idx, j_idx, d1, d2, batch: int = 64):
+def correlate_spectrograms(specs, i_idx, j_idx, d1, d2, batch: int = 64,
+                           mesh=None):
     """Batched normalized 2-D correlation peaks between spectrogram pairs.
 
     specs: (T, F, L) stack; (i_idx, j_idx): cell index lists.
     Returns (peak, df_shift, dl_shift) arrays of len(cells), where the
     shifts are argmax offsets in bins relative to zero lag.
+    ``mesh``: optional device mesh — cell batches shard over its
+    ``batch`` axis (SURVEY.md §2.8 P2 on real devices).
     """
     nf = ops.fft.next_fast_len(2 * specs.shape[-2] - 1)
     nl = ops.fft.next_fast_len(2 * specs.shape[-1] - 1)
     n1, n2 = specs.shape[-2], specs.shape[-1]
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax
+        sharding = NamedSharding(mesh, P("batch", None, None))
+        ndev = mesh.devices.size
+        batch = max(batch, ndev) // ndev * ndev  # device multiple
 
     peaks = np.empty(len(i_idx), dtype=np.float32)
     dfs = np.empty(len(i_idx), dtype=np.int32)
@@ -98,6 +109,10 @@ def correlate_spectrograms(specs, i_idx, j_idx, d1, d2, batch: int = 64):
         jj = np.asarray(j_idx[s:s + batch])
         a = _normed(sp[ii])
         b = _normed(sp[jj])
+        if sharding is not None and len(ii) % mesh.devices.size == 0:
+            import jax
+            a = jax.device_put(a, sharding)
+            b = jax.device_put(b, sharding)
         A = jnp.fft.rfft2(a, s=(nf, nl))
         B = jnp.fft.rfft2(b, s=(nf, nl))
         r = jnp.fft.irfft2(A * jnp.conj(B), s=(nf, nl))
@@ -120,7 +135,7 @@ def timelapse(pairs, times, root, freq_bands=((3.0, 6.0), (6.0, 12.0)),
               clim=(1460.0, 1500.0), duration: float = 2.5,
               padding_factor: int = 4, attrs: dict = None,
               batch: int = 64, filter_kwargs: dict = None,
-              verb: int = 1):
+              mesh=None, verb: int = 1):
     """Full timelapse computation for the given triggered times."""
     times = pd.DatetimeIndex(np.asarray(times))
     ds = init_timelapse(list(pairs), times.values, freq_bands, attrs)
@@ -177,7 +192,8 @@ def timelapse(pairs, times, root, freq_bands=((3.0, 6.0), (6.0, 12.0)),
             jj = [vmap[b] for a, b in cells]
             peaks, dfs, dls = correlate_spectrograms(stack, ii, jj,
                                                      None, None,
-                                                     batch=batch)
+                                                     batch=batch,
+                                                     mesh=mesh)
             for (a, b), pk, df_, dl_ in zip(cells, peaks, dfs, dls):
                 ds["cc2"].values[ip, ifb, a, b] = pk
                 ds["delta_freq"].values[ip, ifb, a, b] = df_
