@@ -8,8 +8,6 @@ Validated single and multi-file reads
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..ndlabel import combine_by_coords
 from .netcdf import from_netcdf
 from .validate import validate, validate_list

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import numpy as np
 import pandas as pd
 
 from .. import util

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .dataarray import DataArray, _drop_all_false
+from .dataarray import DataArray
 
 
 class Dataset:

@@ -27,7 +27,7 @@ Spec equivalence: identical math to ``ops.cc.correlate`` (reference
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

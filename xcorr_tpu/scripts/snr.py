@@ -14,7 +14,6 @@ import argparse
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
 import pandas as pd
 
 from .. import io as xio

@@ -28,7 +28,7 @@ from .. import io as xio
 from .. import ops
 from ..core.postprocess import postprocess
 from ..io.filesystem import ncfile
-from ..ndlabel import DataArray, Dataset
+from ..ndlabel import Dataset
 from ..signal.spectrogram import spectrogram
 from ..util.metadata import global_attrs
 from . import utils
@@ -143,7 +143,7 @@ def timelapse(pairs, times, root, freq_bands=((3.0, 6.0), (6.0, 12.0)),
 
     for ip, pair in enumerate(pairs):
         # load + postprocess + spectrogram ONCE per triggered time
-        specs, ok = [], []
+        specs = []
         freq_coord = None
         lag_size = None
         for t in times:
@@ -177,7 +177,6 @@ def timelapse(pairs, times, root, freq_bands=((3.0, 6.0), (6.0, 12.0)),
         if verb:
             print(f"{pair}: {len(valid)} spectrograms cached")
 
-        lag_delta = None
         for ifb, (f0, f1) in enumerate(freq_bands):
             sel = (freq_coord >= f0) & (freq_coord <= f1)
             if not sel.any():

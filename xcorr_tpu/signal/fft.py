@@ -17,7 +17,7 @@ import numpy as np
 
 from ..ndlabel import DataArray
 from ..util.history import historicize
-from ._helpers import core_dim_last, get_dim, wrap_like
+from ._helpers import core_dim_last, get_dim
 
 __all__ = ["fft", "ifft", "rfft", "irfft"]
 

@@ -17,8 +17,6 @@ compiled executable per (channel-chain, npts) config.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 from glob import glob
 
-import numpy as np
-
 from .trace import Stream, Stats, Trace, UTCDateTime
 
 __all__ = ["SDSArchive", "sds_path", "to_SDS"]
