@@ -203,3 +203,14 @@ class TestCombine:
         ds2["b"] = (("x",), np.ones(2))
         out = merge([ds1, ds2])
         assert set(out.keys()) == {"a", "b"}
+
+
+class TestLoc:
+    def test_loc_get_set(self):
+        da = make_da()
+        sub = da.loc[{"pair": "C-D"}]
+        np.testing.assert_array_equal(sub.values, np.arange(5, 10.0))
+        da.loc[{"pair": "A-B", "lag": 0.0}] = 99.0
+        assert da.values[0, 2] == 99.0
+        da.loc[{"pair": "A-B"}] = np.zeros(5)
+        np.testing.assert_array_equal(da.values[0], 0.0)

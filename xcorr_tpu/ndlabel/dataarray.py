@@ -190,6 +190,13 @@ class DataArray:
             idx[self.dims.index(d)] = i
         return tuple(idx)
 
+    @property
+    def loc(self):
+        """Label-based get/set: ``da.loc[{'pair': p, 'time': t}]``
+        (xarray convention, used pervasively by reference-style user
+        code, e.g. ``xcorr/core/process.py:93-165``)."""
+        return _LocIndexer(self)
+
     def isel(self, indexers=None, **kw):
         indexers = dict(indexers or {}, **kw)
         data = self.data
@@ -445,6 +452,33 @@ class DataArray:
 
     def isnull(self):
         return self.copy(deep=False, data=np.isnan(self.data))
+
+
+class _LocIndexer:
+    """Label-based indexing adapter for DataArray."""
+
+    def __init__(self, da):
+        self._da = da
+
+    def _positional(self, key):
+        if not isinstance(key, dict):
+            raise TypeError("loc expects a {dim: label} mapping")
+        idx = [slice(None)] * self._da.ndim
+        for d, lab in key.items():
+            if hasattr(lab, "values") and hasattr(lab, "dims"):
+                lab = lab.values
+            pos = _label_to_index(self._da.coords[d].data, lab)
+            idx[self._da.dims.index(d)] = pos
+        return tuple(idx)
+
+    def __getitem__(self, key):
+        pos = {d: i for d, i in zip(self._da.dims, self._positional(key))}
+        return self._da.isel({d: p for d, p in pos.items()
+                              if not (isinstance(p, slice)
+                                      and p == slice(None))})
+
+    def __setitem__(self, key, value):
+        self._da.data[self._positional(key)] = np.asarray(value)
 
 
 def _drop_all_false(out, cond):

@@ -78,7 +78,8 @@ def fft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
     dim = get_dim(x, dim)
     new_dim, new_dim_attrs = _new_dim_checks(x, dim, new_dim, "freq",
                                              new_dim_attrs)
-    dtype = np.dtype(dtype or "complex128")
+    dtype = np.dtype(dtype or ("complex64" if x.dtype.itemsize <= 4
+                               else "complex128"))
     if "complex" not in dtype.name:
         raise TypeError("dtype should be complex.")
 
@@ -105,7 +106,10 @@ def ifft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
     dim = get_dim(x, dim)
     new_dim, new_dim_attrs = _new_dim_checks(x, dim, new_dim, "time",
                                              new_dim_attrs)
-    dtype = np.dtype(dtype or "complex128")
+    dtype = np.dtype(dtype or ("complex64" if x.dtype.itemsize <= 8
+                               and x.dtype.kind == "c"
+                               else "complex64" if x.dtype.itemsize <= 4
+                               else "complex128"))
 
     coord = np.asarray(x.coords[dim].values, dtype=np.float64)
     n = coord.size
@@ -134,7 +138,8 @@ def rfft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
     dim = get_dim(x, dim)
     new_dim, new_dim_attrs = _new_dim_checks(x, dim, new_dim, "freq",
                                              new_dim_attrs)
-    dtype = np.dtype(dtype or "float64")
+    dtype = np.dtype(dtype or ("float32" if x.dtype.itemsize <= 4
+                               else "float64"))
     if "float" not in dtype.name:
         raise TypeError("dtype should be float.")
     cdtype = np.complex64 if dtype == np.float32 else np.complex128
@@ -161,7 +166,8 @@ def irfft(x, dim: str = None, new_dim: str = None,
     dim = get_dim(x, dim)
     new_dim, new_dim_attrs = _new_dim_checks(x, dim, new_dim, "time",
                                              new_dim_attrs)
-    dtype = np.dtype(dtype or "float64")
+    dtype = np.dtype(dtype or ("float32" if x.dtype.itemsize <= 8
+                               else "float64"))
     if "float" not in dtype.name:
         raise TypeError("dtype should be float.")
     cdtype = np.complex64 if dtype == np.float32 else np.complex128
