@@ -11,9 +11,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["_one_second", "to_seconds", "to_datetime", "get_dates",
-           "leap_year", "get_dpm", "get_dpy", "update_lag_indices",
-           "_dpm"]
+__all__ = ["_one_second", "to_seconds", "to_datetime", "to_UTCDateTime",
+           "get_dates", "leap_year", "get_dpm", "get_dpy",
+           "update_lag_indices", "_dpm"]
 
 _one_second = pd.to_timedelta("1s")
 
@@ -38,6 +38,14 @@ def to_datetime(time):
     elif hasattr(time, "datetime"):  # UTCDateTime-like
         time = time.datetime
     return pd.to_datetime(time)
+
+
+def to_UTCDateTime(time):
+    """Convert to the framework's UTCDateTime
+    (``xcorr/util/time.py:76-91`` analog; obspy's class replaced by
+    :class:`xcorr_tpu.stream.UTCDateTime`)."""
+    from ..stream.trace import UTCDateTime
+    return UTCDateTime(to_datetime(time))
 
 
 def update_lag_indices(lag):
