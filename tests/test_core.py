@@ -230,3 +230,33 @@ class TestShardedEngine:
         want = cc_host.cc(x[0], y[0], unbiased=False)[411:611]
         np.testing.assert_allclose(out[0], want.astype(np.float32),
                                    atol=2e-5)
+
+
+class TestDeviceEngine:
+    def test_device_process_matches_host_process(self):
+        """The device-preprocessed engine must reproduce core.process
+        (host per-trace path) on the same synthetic data."""
+        from xcorr_tpu.parallel import device_process
+
+        ds_host = init_ds(endtime=pd.Timestamp("2014-01-01T03:00"))
+        ds_dev = init_ds(endtime=pd.Timestamp("2014-01-01T03:00"))
+        client = make_client()
+        xcorr_tpu.process(ds_host, client=client, verb=0)
+        device_process(ds_dev, client=make_client(), verb=0)
+
+        assert (ds_dev["status"].values == 1).all()
+        np.testing.assert_array_equal(ds_dev["pair_offset"].values,
+                                      ds_host["pair_offset"].values)
+        np.testing.assert_array_equal(ds_dev["time_offset"].values,
+                                      ds_host["time_offset"].values)
+        # same windows, same ops -> same CCFs to f32 tolerance
+        np.testing.assert_allclose(ds_dev["cc"].values,
+                                   ds_host["cc"].values,
+                                   atol=5e-6)
+
+    def test_device_process_missing_data(self):
+        from xcorr_tpu.parallel import device_process
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        client = make_client(missing={"IU.RAR.10.BHZ"})
+        device_process(ds, client=client, verb=0)
+        assert (ds["status"].values == -1).all()

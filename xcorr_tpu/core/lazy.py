@@ -35,7 +35,7 @@ __all__ = ["single_threaded_process", "lazy_processes", "lazy_process"]
 def single_threaded_process(pair: str, time, init_args: dict,
                             client, inventory, root: str,
                             force_fresh: bool = False, verb: int = 0,
-                            **kwargs):
+                            engine: str = "host", **kwargs):
     """Read-or-init -> process -> write one (pair, day) shard; returns
     True when the shard is complete (reference
     ``xcorr/core/lazy.py:26-82``)."""
@@ -53,8 +53,17 @@ def single_threaded_process(pair: str, time, init_args: dict,
             endtime=time + pd.Timedelta("1D"),
             **init_args,
         )
-    core_process(data, client=client, inventory=inventory,
-                 retry_missing=True, verb=verb, **kwargs)
+    if engine == "device":
+        from ..parallel.engine import device_process
+        try:
+            device_process(data, client=client, inventory=inventory,
+                           retry_missing=True, verb=verb, **kwargs)
+        except NotImplementedError:  # chain not device-compilable
+            core_process(data, client=client, inventory=inventory,
+                         retry_missing=True, verb=verb, **kwargs)
+    else:
+        core_process(data, client=client, inventory=inventory,
+                     retry_missing=True, verb=verb, **kwargs)
     if np.any(data["status"].values == 1):
         write(data, nc, verb=verb)
     return bool(np.all(data["status"].values == 1))

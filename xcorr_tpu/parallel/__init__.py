@@ -11,6 +11,8 @@ from .mesh import make_mesh, batch_sharding
 from .batch import sharded_correlate, BatchEngine
 from .distributed import initialize, host_slice
 from .pipeline import FusedPipeline
+from .engine import device_process
 
 __all__ = ["make_mesh", "batch_sharding", "sharded_correlate",
-           "BatchEngine", "initialize", "host_slice", "FusedPipeline"]
+           "BatchEngine", "initialize", "host_slice", "FusedPipeline",
+           "device_process"]

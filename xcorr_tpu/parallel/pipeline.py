@@ -46,11 +46,13 @@ class FusedPipeline:
 
     def __init__(self, ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b,
                  npts, index_min=None, index_max=None, normalize=True,
-                 response_a=None, response_b=None):
+                 response_a=None, response_b=None, trim_offset=0):
         chain_a, n_a, fs_out_a = compile_operations(
-            ops_a, npts_raw_a, fs_a, response=response_a, jit=False)
+            ops_a, npts_raw_a, fs_a, response=response_a, jit=False,
+            trim_to=npts, trim_offset=trim_offset)
         chain_b, n_b, fs_out_b = compile_operations(
-            ops_b, npts_raw_b, fs_b, response=response_b, jit=False)
+            ops_b, npts_raw_b, fs_b, response=response_b, jit=False,
+            trim_to=npts, trim_offset=trim_offset)
         if abs(fs_out_a - fs_out_b) > 1e-9:
             raise ValueError(
                 f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
@@ -64,8 +66,8 @@ class FusedPipeline:
         self.index_max = index_max
 
         def step(x_raw, y_raw):
-            xa = chain_a(x_raw)[..., :npts]
-            yb = chain_b(y_raw)[..., :npts]
+            xa = chain_a(x_raw)
+            yb = chain_b(y_raw)
             return ops.cc.correlate(
                 xa, yb, normalize=normalize, index_min=index_min,
                 index_max=index_max)

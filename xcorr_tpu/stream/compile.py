@@ -197,7 +197,7 @@ _STAGES = {
 
 def compile_operations(operations, npts: int, sampling_rate: float,
                        response=None, trim_to: int = None,
-                       jit: bool = True):
+                       trim_offset: int = 0, jit: bool = True):
     """Compile a channel's operation list into one device function.
 
     Parameters
@@ -207,6 +207,8 @@ def compile_operations(operations, npts: int, sampling_rate: float,
     response : optional PAZResponse for remove_response/sensitivity
     trim_to : optionally slice the final output to this many samples
         (the 'trim' op equivalent once buffers are removed)
+    trim_offset : first sample of the trim window at the *final* rate
+        (drops the leading time buffer)
 
     Returns
     -------
@@ -232,13 +234,18 @@ def compile_operations(operations, npts: int, sampling_rate: float,
         stages.append(st)
         n, fs = st.npts_out, st.fs_out
 
-    if trim_to is not None and trim_to < n:
+    if trim_to is not None and trim_offset + trim_to <= n:
         npts_final = int(trim_to)
+        off = int(trim_offset)
 
-        def trim_stage(x, k=npts_final):
-            return x[..., :k]
+        def trim_stage(x, k=npts_final, o=off):
+            return x[..., o:o + k]
         stages.append(_Stage(trim_stage, npts_final, fs))
         n = npts_final
+    elif trim_to is not None:
+        raise ValueError(
+            f"trim window [{trim_offset}, {trim_offset + trim_to}) exceeds "
+            f"chain output length {n}")
 
     def chain(x):
         for st in stages:
