@@ -50,34 +50,45 @@ def _biquad_affine_scan(x, b, a, zi=None):
     """
     b0, b1, b2 = b[0], b[1], b[2]
     a1, a2 = a[1], a[2]
-    n = x.shape[-1]
 
-    # state transition is constant: s[t] = A s[t-1] + B x[t]
-    # associative elements are affine maps (M, v): s -> M s + v
-    A = jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=x.dtype)
-    B = jnp.array([b1 - a1 * b0, b2 - a2 * b0], dtype=x.dtype)
-
-    v = x[..., None] * B  # (..., n, 2)
+    # state transition is constant: s[t] = A s[t-1] + B x[t] with
+    # A = [[-a1, 1], [-a2, 0]], B = [b1 - a1 b0, b2 - a2 b0].
+    # The affine maps (M, v) are carried as SIX separate (..., n) planes
+    # (m11, m12, m21, m22, v1, v2): a trailing (..., 2)/(..., 2, 2) layout
+    # gets lane-padded 64x on TPU (T(8,128) tiling) and OOMs at day scale.
+    ones = jnp.ones_like(x)
+    m11 = -a1 * ones
+    m12 = ones
+    m21 = -a2 * ones
+    m22 = jnp.zeros_like(x)
+    v1 = (b1 - a1 * b0) * x
+    v2 = (b2 - a2 * b0) * x
     if zi is not None:
         # fold the initial state into the first element: s[0] = A zi + B x[0]
         zi = jnp.broadcast_to(jnp.asarray(zi, x.dtype), x.shape[:-1] + (2,))
-        v0 = v[..., 0, :] + jnp.einsum("ij,...j->...i", A, zi)
-        v = v.at[..., 0, :].set(v0)
-    M = jnp.broadcast_to(A, v.shape[:-1] + (2, 2))
-    taxis = x.ndim - 1  # time axis position in both (..., n, 2) and
-    # (..., n, 2, 2)
+        z1 = zi[..., 0]
+        z2 = zi[..., 1]
+        v1 = v1.at[..., 0].add(-a1 * z1 + z2)
+        v2 = v2.at[..., 0].add(-a2 * z1)
 
     def compose(e1, e2):
-        M1, v1 = e1
-        M2, v2 = e2
-        return (jnp.einsum("...ij,...jk->...ik", M2, M1),
-                jnp.einsum("...ij,...j->...i", M2, v1) + v2)
+        a11, a12, a21, a22, u1, u2 = e1
+        c11, c12, c21, c22, w1, w2 = e2
+        # M = M2 @ M1 ; v = M2 @ v1 + v2
+        return (c11 * a11 + c12 * a21,
+                c11 * a12 + c12 * a22,
+                c21 * a11 + c22 * a21,
+                c21 * a12 + c22 * a22,
+                c11 * u1 + c12 * u2 + w1,
+                c21 * u1 + c22 * u2 + w2)
 
-    _, s = jax.lax.associative_scan(compose, (M, v), axis=taxis)
+    out = jax.lax.associative_scan(
+        compose, (m11, m12, m21, m22, v1, v2), axis=-1)
+    s1 = out[4]  # z1[t] after processing x[t]
     # y[t] = b0 x[t] + s1[t-1]; s1[-1] = zi[0] (or 0)
     s1_init = (zi[..., :1] if zi is not None
                else jnp.zeros(x.shape[:-1] + (1,), x.dtype))
-    s1_prev = jnp.concatenate([s1_init, s[..., :-1, 0]], axis=-1)
+    s1_prev = jnp.concatenate([s1_init, s1[..., :-1]], axis=-1)
     y = b0 * x + s1_prev
     return y
 
