@@ -27,15 +27,48 @@ substitution.
 
 from __future__ import annotations
 
+import json
+import threading
+
 import numpy as np
 import pandas as pd
 
 from .. import stream as stream_mod
 from .. import util
-from ..stream.compile import HOST_OPS, compile_operations
+from ..stream.compile import HOST_OPS
 from .pipeline import FusedPipeline
 
 __all__ = ["device_process"]
+
+# one compiled pipeline per (ops, geometry, response) config, shared
+# across day-tasks and worker threads (every pair-day reuses the same
+# executable; without this each task re-jits the whole fused step)
+_pipeline_cache = {}
+_pipeline_lock = threading.Lock()
+
+
+def _response_key(resp):
+    if resp is None:
+        return None
+    return (tuple(map(complex, resp.poles)), tuple(map(complex, resp.zeros)),
+            resp.gain, resp.sensitivity, resp.input_units)
+
+
+def _get_pipeline(ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
+                  imin, imax, normalize, resp_a, resp_b, buf_out):
+    key = (json.dumps(ops_a), json.dumps(ops_b), npts_raw_a, fs_a,
+           npts_raw_b, fs_b, npts, imin, imax, normalize,
+           _response_key(resp_a), _response_key(resp_b), buf_out)
+    with _pipeline_lock:
+        pipe = _pipeline_cache.get(key)
+        if pipe is None:
+            pipe = FusedPipeline(
+                ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
+                index_min=imin, index_max=imax, normalize=normalize,
+                response_a=resp_a, response_b=resp_b,
+                trim_offset=buf_out)
+            _pipeline_cache[key] = pipe
+    return pipe
 
 
 def _chain_compilable(ops_list):
@@ -127,13 +160,12 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
 
     # compiled chains trim the buffer at the final rate
     buf_out = int(round(buffer * fs_out))
-    pipe = FusedPipeline(
+    pipe = _get_pipeline(
         [op for op in ops_a if op[0] not in HOST_OPS],
         [op for op in ops_b if op[0] not in HOST_OPS],
         npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
-        index_min=imin, index_max=imax,
-        normalize=dataset["cc"].attrs.get("normalize", 1) == 1,
-        response_a=resp_a, response_b=resp_b, trim_offset=buf_out)
+        imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
+        resp_a, resp_b, buf_out)
 
     # strided buffered windows out of the raw day arrays
     def window_block(tr, npts_raw, fs):
