@@ -40,6 +40,14 @@ def butter_sos(order: int, frequency, btype: str, sampling_rate: float):
     return sp_signal.butter(order, wn, btype=btype, output="sos")
 
 
+# above this length the within-chunk associative scan wraps in a
+# lax.scan over chunks: the unrolled scan's HLO at day scale (4.75M
+# samples) is too large for the AOT compiler, and the chunked form also
+# keeps peak memory at one chunk of composed affine maps
+_CHUNKED_THRESHOLD = 1 << 18
+_CHUNK = 1 << 16
+
+
 def _biquad_affine_scan(x, b, a, zi=None):
     """Apply one biquad along the last axis via associative scan.
 
@@ -48,6 +56,8 @@ def _biquad_affine_scan(x, b, a, zi=None):
     scipy-compatible).
     Returns y with the same shape.
     """
+    if x.shape[-1] > _CHUNKED_THRESHOLD:
+        return _biquad_chunked(x, b, a, zi)
     b0, b1, b2 = b[0], b[1], b[2]
     a1, a2 = a[1], a[2]
 
@@ -91,6 +101,59 @@ def _biquad_affine_scan(x, b, a, zi=None):
     s1_prev = jnp.concatenate([s1_init, s1[..., :-1]], axis=-1)
     y = b0 * x + s1_prev
     return y
+
+
+def _biquad_chunked(x, b, a, zi=None):
+    """Chunked biquad: lax.scan over chunks carrying the exact 2-element
+    state; the parallel affine scan runs within each chunk only."""
+    b0 = b[0]
+    a1, a2 = a[1], a[2]
+    n = x.shape[-1]
+    L = _CHUNK
+    C = -(-n // L)
+    pad = C * L - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    # chunk axis leads for lax.scan
+    xc = jnp.moveaxis(xp.reshape(x.shape[:-1] + (C, L)), -2, 0)
+
+    ones = jnp.ones(x.shape[:-1] + (L,), x.dtype)
+    zero = jnp.zeros(x.shape[:-1] + (L,), x.dtype)
+
+    def compose(e1, e2):
+        a11, a12, a21, a22, u1, u2 = e1
+        c11, c12, c21, c22, w1, w2 = e2
+        return (c11 * a11 + c12 * a21,
+                c11 * a12 + c12 * a22,
+                c21 * a11 + c22 * a21,
+                c21 * a12 + c22 * a22,
+                c11 * u1 + c12 * u2 + w1,
+                c21 * u1 + c22 * u2 + w2)
+
+    def body(carry, xk):
+        z1, z2 = carry  # state entering the chunk, shape x.shape[:-1]
+        v1 = (b[1] - a1 * b0) * xk
+        v2 = (b[2] - a2 * b0) * xk
+        cum = jax.lax.associative_scan(
+            compose, (-a1 * ones, ones, -a2 * ones, zero, v1, v2),
+            axis=-1)
+        m11, m12, m21, m22, cv1, cv2 = cum
+        # s[t] = M_cum[t] @ z_in + v_cum[t]
+        s1 = m11 * z1[..., None] + m12 * z2[..., None] + cv1
+        s2 = m21 * z1[..., None] + m22 * z2[..., None] + cv2
+        y = b0 * xk + jnp.concatenate(
+            [z1[..., None], s1[..., :-1]], axis=-1)
+        return (s1[..., -1], s2[..., -1]), y
+
+    if zi is not None:
+        zi = jnp.broadcast_to(jnp.asarray(zi, x.dtype),
+                              x.shape[:-1] + (2,))
+        carry0 = (zi[..., 0], zi[..., 1])
+    else:
+        carry0 = (jnp.zeros(x.shape[:-1], x.dtype),
+                  jnp.zeros(x.shape[:-1], x.dtype))
+    _, yc = jax.lax.scan(body, carry0, xc)
+    y = jnp.moveaxis(yc, 0, -2).reshape(xp.shape)
+    return y[..., :n]
 
 
 @partial(jax.jit, static_argnames=())
