@@ -65,17 +65,32 @@ class FusedPipeline:
         self.index_min = index_min
         self.index_max = index_max
 
-        def step(x_raw, y_raw):
-            xa = chain_a(x_raw)
-            yb = chain_b(y_raw)
-            return ops.cc.correlate(
-                xa, yb, normalize=normalize, index_min=index_min,
-                index_max=index_max)
+        # three separate executables: one monolithic jit of
+        # (chain_a + chain_b + correlate) at day scale overwhelms the
+        # AOT compiler (observed SIGKILLed compile helpers)
+        self._pre_a = jax.jit(chain_a)
+        self._pre_b = jax.jit(chain_b)
+        self._normalize = normalize
+        # serialize the first (compiling) call across worker threads
+        import threading
+        self._compile_lock = threading.Lock()
+        self._warm = False
 
-        self._step = jax.jit(step)
+    def _step(self, x_raw, y_raw):
+        xa = self._pre_a(x_raw)[..., : self.npts]
+        yb = self._pre_b(y_raw)[..., : self.npts]
+        return ops.cc.correlate(
+            xa, yb, normalize=self._normalize,
+            index_min=self.index_min, index_max=self.index_max)
 
     def __call__(self, x_raw, y_raw):
         """(B, npts_raw_a), (B, npts_raw_b) float32 -> (B, nlag)
         float32."""
-        return np.asarray(self._step(jnp.asarray(x_raw),
-                                     jnp.asarray(y_raw)))
+        x_raw = jnp.asarray(x_raw)
+        y_raw = jnp.asarray(y_raw)
+        if not self._warm:
+            with self._compile_lock:
+                out = np.asarray(self._step(x_raw, y_raw))
+                self._warm = True
+                return out
+        return np.asarray(self._step(x_raw, y_raw))
