@@ -222,3 +222,31 @@ class TestTimelapseMesh:
                                       "btype": "highpass", "order": 2},
                        mesh=make_mesh(8), verb=0)
         assert (ds["status"].values > 0).sum() > 0
+
+
+class TestTimelapseInitUpdate:
+    def test_init_then_update(self, archive, tmp_path):
+        from xcorr_tpu.scripts import timelapse as tl
+        out = str(tmp_path / "tl_init.nc")
+        # --init writes the empty (time1, time2) scaffold
+        rc = tl.main(["all", "--start", "2014-01-01", "--end", "2014-01-02",
+                      "--root", archive, "--pair", PAIRS[0],
+                      "--freq", "0.4", "1.0", "--init", "--out", out,
+                      "--institution", "t", "--author", "t",
+                      "--source", "t"])
+        assert rc == 0 and os.path.exists(out)
+        scaffold = xcorr_tpu.io.from_netcdf(out)
+        assert (scaffold["status"].values == 0).all()
+        # full run with --update merges into the existing file
+        out2 = str(tmp_path / "tl_full.nc")
+        rc = tl.main(["all", "--start", "2014-01-01", "--end", "2014-01-02",
+                      "--root", archive, "--pair", PAIRS[0],
+                      "--freq", "0.4", "1.0", "--filter-freq", "0.5",
+                      "--duration", "10.0",
+                      "--celerity", "1400", "90000000",
+                      "--update", out, "--out", out2,
+                      "--institution", "t", "--author", "t",
+                      "--source", "t"])
+        assert rc == 0 and os.path.exists(out2)
+        merged = xcorr_tpu.io.from_netcdf(out2)
+        assert (merged["status"].values > 0).any()
