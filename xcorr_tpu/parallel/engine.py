@@ -9,10 +9,11 @@ of host-preprocessing each (pair, window) through the Trace methods
 1. fetches each receiver's RAW day coverage ONCE (the reference re-fetches
    overlapping windows from the archive per step — at the production 87.5%
    overlap that reads every sample 8x),
-2. slices the buffered windows as strided host views,
-3. runs one fused jitted step per pair-day: compiled per-channel
-   preprocess chains + the four-step correlation
-   (:class:`xcorr_tpu.parallel.pipeline.FusedPipeline`),
+2. ships each raw span to the device ONCE and slices the overlapping
+   windows on device (static slices inside the jit) — an 8x cut in
+   host->device transfer at production overlap,
+3. runs the compiled per-channel preprocess chains + the four-step/Pallas
+   correlation (:class:`xcorr_tpu.parallel.pipeline.SpanPipeline`),
 4. fills the dataset's cc/status/offset bookkeeping exactly like the
    host path.
 
@@ -36,7 +37,7 @@ import pandas as pd
 from .. import stream as stream_mod
 from .. import util
 from ..stream.compile import HOST_OPS
-from .pipeline import FusedPipeline
+from .pipeline import SpanPipeline
 
 __all__ = ["device_process"]
 
@@ -54,16 +55,19 @@ def _response_key(resp):
             resp.gain, resp.sensitivity, resp.input_units)
 
 
-def _get_pipeline(ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
+def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
+                  offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                   imin, imax, normalize, resp_a, resp_b, buf_out):
-    key = (json.dumps(ops_a), json.dumps(ops_b), npts_raw_a, fs_a,
-           npts_raw_b, fs_b, npts, imin, imax, normalize,
+    key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
+           span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
+           npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
            _response_key(resp_a), _response_key(resp_b), buf_out)
     with _pipeline_lock:
         pipe = _pipeline_cache.get(key)
         if pipe is None:
-            pipe = FusedPipeline(
-                ops_a, ops_b, npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
+            pipe = SpanPipeline(
+                ops_a, ops_b, span_a, fs_a, span_b, fs_b,
+                offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                 index_min=imin, index_max=imax, normalize=normalize,
                 response_a=resp_a, response_b=resp_b,
                 trim_offset=buf_out)
@@ -158,38 +162,27 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
         except KeyError:
             pass
 
-    # compiled chains trim the buffer at the final rate
-    buf_out = int(round(buffer * fs_out))
-    pipe = _get_pipeline(
-        [op for op in ops_a if op[0] not in HOST_OPS],
-        [op for op in ops_b if op[0] not in HOST_OPS],
-        npts_raw_a, fs_a, npts_raw_b, fs_b, npts,
-        imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
-        resp_a, resp_b, buf_out)
-
-    # strided buffered windows out of the raw day arrays
-    def window_block(tr, npts_raw, fs):
-        xs = []
-        offsets = []
+    # static per-window sample offsets into each receiver's raw span
+    def window_offsets(tr, npts_raw, fs):
+        idx, starts = [], []
         for it in work:
             start = (times[it] - pd.Timedelta(
                 seconds=window_length / 2 + buffer)
                 - pd.Timestamp(tr.stats.starttime.ns)).total_seconds()
             i0 = int(round(start * fs))
             if i0 < 0 or i0 + npts_raw > tr.stats.npts:
-                xs.append(None)
-                offsets.append(None)
+                idx.append(None)
+                starts.append(None)
                 continue
-            xs.append(tr.data[i0:i0 + npts_raw])
-            # actual window start time (sample-aligned)
-            offsets.append(tr.stats.starttime + i0 / fs + buffer)
-        return xs, offsets
+            idx.append(i0)
+            # actual window start time (sample-aligned, after the buffer)
+            starts.append(tr.stats.starttime + i0 / fs + buffer)
+        return idx, starts
 
-    xa, off_a = window_block(tr_a, npts_raw_a, fs_a)
-    xb, off_b = window_block(tr_b, npts_raw_b, fs_b)
-
+    ia, off_a = window_offsets(tr_a, npts_raw_a, fs_a)
+    ib, off_b = window_offsets(tr_b, npts_raw_b, fs_b)
     good = [k for k in range(len(work))
-            if xa[k] is not None and xb[k] is not None]
+            if ia[k] is not None and ib[k] is not None]
     for k in range(len(work)):
         if k not in good:
             status[0, work[k]] = -1
@@ -197,12 +190,22 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
         _finish(dataset)
         return dataset
 
-    x = np.stack([xa[k] for k in good]).astype(np.float32)
-    y = np.stack([xb[k] for k in good]).astype(np.float32)
+    # compiled chains trim the buffer at the final rate; each raw span
+    # ships to the device ONCE and windows slice out on device
+    buf_out = int(round(buffer * fs_out))
+    pipe = _get_pipeline(
+        [op for op in ops_a if op[0] not in HOST_OPS],
+        [op for op in ops_b if op[0] not in HOST_OPS],
+        tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
+        [ia[k] for k in good], [ib[k] for k in good],
+        npts_raw_a, npts_raw_b, npts,
+        imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
+        resp_a, resp_b, buf_out)
     if verb:
-        print(f"device_process: {len(good)} windows in one fused step "
-              f"({x.nbytes / 1e6:.0f} MB raw)")
-    ccf = pipe(x, y)
+        print(f"device_process: {len(good)} windows from one "
+              f"{tr_a.data.nbytes / 1e6:.0f} MB span transfer")
+    ccf = pipe(np.asarray(tr_a.data, dtype=np.float32),
+               np.asarray(tr_b.data, dtype=np.float32))
 
     for b, k in enumerate(good):
         it = work[k]
