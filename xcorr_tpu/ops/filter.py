@@ -15,6 +15,13 @@ compose associatively, so the whole day-long trace filters in
 O(log n) depth via ``jax.lax.associative_scan`` — the TPU answer to a
 recurrence scipy runs sequentially on one core (SURVEY.md §7 hard part 1).
 
+At day scale (> 2^18 samples) each biquad instead runs as a ``lax.scan``
+over 2^16-sample chunks carrying the exact 2-element state, with the
+in-chunk solution computed in closed form: s[t] = A^(t+1) z_in +
+(h * x)[t] where the A-power sequences and the impulse response
+h[k] = A^k B are host-precomputed — ONE causal FFT convolution per chunk
+(~3 memory passes) instead of a deep scan.
+
 Design on host (tiny): scipy ``butter``/``sosfilt_zi``; application on
 device. ``sosfiltfilt`` reproduces scipy's odd-extension padding and
 x0-scaled initial conditions, matching the scipy oracle to f64 precision.
@@ -22,7 +29,7 @@ x0-scaled initial conditions, matching the scipy oracle to f64 precision.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -58,8 +65,10 @@ def _biquad_affine_scan(x, b, a, zi=None):
     """
     if x.shape[-1] > _CHUNKED_THRESHOLD:
         return _biquad_chunked(x, b, a, zi)
-    b0, b1, b2 = b[0], b[1], b[2]
-    a1, a2 = a[1], a[2]
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b0, b1, b2 = float(b[0]), float(b[1]), float(b[2])
+    a1, a2 = float(a[1]), float(a[2])
 
     # state transition is constant: s[t] = A s[t-1] + B x[t] with
     # A = [[-a1, 1], [-a2, 0]], B = [b1 - a1 b0, b2 - a2 b0].
@@ -103,46 +112,91 @@ def _biquad_affine_scan(x, b, a, zi=None):
     return y
 
 
+@lru_cache(maxsize=64)
+def _biquad_chunk_plan_cached(bt, at, L):
+    return _biquad_chunk_plan(np.asarray(bt), np.asarray(at), L)
+
+
+def _biquad_chunk_plan(b, a, L):
+    """Host precomputation for the conv-based chunked biquad.
+
+    The state recurrence s[t] = A s[t-1] + B x[t] has, within a chunk of
+    length L, the closed form s[t] = A^(t+1) z_in + sum_j A^(t-j) B x[j]:
+    the A-power entries are data-independent sequences (computed here in
+    f64) and the convolution term uses the impulse response h[k] = A^k B.
+    """
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    A = np.array([[-a[1], 1.0], [-a[2], 0.0]])
+    B = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+
+    # A^(t+1) entries for t in [0, L)
+    m = np.empty((L, 2, 2))
+    acc = A.copy()
+    for t in range(L):
+        m[t] = acc
+        acc = acc @ A
+    # impulse response h[k] = A^k B for k in [0, L)
+    h = np.empty((L, 2))
+    v = B.copy()
+    for k in range(L):
+        h[k] = v
+        v = A @ v
+    nfft = 1
+    while nfft < 2 * L:
+        nfft *= 2
+    H1 = np.fft.rfft(h[:, 0], nfft)
+    return {
+        "m11": m[:, 0, 0], "m12": m[:, 0, 1],
+        "m21": m[:, 1, 0], "m22": m[:, 1, 1],
+        "H1_re": H1.real, "H1_im": H1.imag,
+        "h2_rev": h[::-1, 1].copy(),
+        "nfft": nfft,
+    }
+
+
 def _biquad_chunked(x, b, a, zi=None):
-    """Chunked biquad: lax.scan over chunks carrying the exact 2-element
-    state; the parallel affine scan runs within each chunk only."""
-    b0 = b[0]
-    a1, a2 = a[1], a[2]
+    """Chunked biquad via exact impulse-response convolution.
+
+    lax.scan over 2^16-sample chunks carrying the exact 2-element state;
+    inside each chunk the data-dependent part is ONE causal FFT
+    convolution with the host-precomputed impulse response (the A-power
+    sequences are constants), ~3 memory passes instead of the ~16 of an
+    in-chunk associative scan.
+    """
+    b = np.asarray(b, dtype=np.float64)  # coefficients must be concrete
+    a = np.asarray(a, dtype=np.float64)
+    b0 = float(b[0])
     n = x.shape[-1]
     L = _CHUNK
     C = -(-n // L)
     pad = C * L - n
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    # chunk axis leads for lax.scan
     xc = jnp.moveaxis(xp.reshape(x.shape[:-1] + (C, L)), -2, 0)
 
-    ones = jnp.ones(x.shape[:-1] + (L,), x.dtype)
-    zero = jnp.zeros(x.shape[:-1] + (L,), x.dtype)
-
-    def compose(e1, e2):
-        a11, a12, a21, a22, u1, u2 = e1
-        c11, c12, c21, c22, w1, w2 = e2
-        return (c11 * a11 + c12 * a21,
-                c11 * a12 + c12 * a22,
-                c21 * a11 + c22 * a21,
-                c21 * a12 + c22 * a22,
-                c11 * u1 + c12 * u2 + w1,
-                c21 * u1 + c22 * u2 + w2)
+    plan = _biquad_chunk_plan_cached(tuple(b), tuple(a), L)
+    nfft = plan["nfft"]
+    m11 = jnp.asarray(plan["m11"], x.dtype)
+    m12 = jnp.asarray(plan["m12"], x.dtype)
+    m21L = float(plan["m21"][L - 1])
+    m22L = float(plan["m22"][L - 1])
+    H1 = jax.lax.complex(jnp.asarray(plan["H1_re"], x.dtype),
+                         jnp.asarray(plan["H1_im"], x.dtype))
+    h2_rev = jnp.asarray(plan["h2_rev"], x.dtype)
 
     def body(carry, xk):
         z1, z2 = carry  # state entering the chunk, shape x.shape[:-1]
-        v1 = (b[1] - a1 * b0) * xk
-        v2 = (b[2] - a2 * b0) * xk
-        cum = jax.lax.associative_scan(
-            compose, (-a1 * ones, ones, -a2 * ones, zero, v1, v2),
-            axis=-1)
-        m11, m12, m21, m22, cv1, cv2 = cum
-        # s[t] = M_cum[t] @ z_in + v_cum[t]
-        s1 = m11 * z1[..., None] + m12 * z2[..., None] + cv1
-        s2 = m21 * z1[..., None] + m22 * z2[..., None] + cv2
+        X = jnp.fft.rfft(xk, n=nfft, axis=-1)
+        v1 = jnp.fft.irfft(X * H1, n=nfft, axis=-1)[..., :L]
+        # s1[t] = m11[t] z1 + m12[t] z2 + v1[t]
+        s1 = m11 * z1[..., None] + m12 * z2[..., None] + v1
         y = b0 * xk + jnp.concatenate(
             [z1[..., None], s1[..., :-1]], axis=-1)
-        return (s1[..., -1], s2[..., -1]), y
+        # carry: full state at t = L-1 (v2 via one dot product)
+        v2_last = jnp.sum(xk * h2_rev, axis=-1)
+        z1n = s1[..., -1]
+        z2n = m21L * z1 + m22L * z2 + v2_last
+        return (z1n, z2n), y
 
     if zi is not None:
         zi = jnp.broadcast_to(jnp.asarray(zi, x.dtype),
@@ -156,14 +210,16 @@ def _biquad_chunked(x, b, a, zi=None):
     return y[..., :n]
 
 
-@partial(jax.jit, static_argnames=())
 def sosfilt(sos, x, zi=None):
     """Cascaded-biquad forward filtering along the last axis.
 
-    sos: (nsections, 6) scipy-layout coefficients. zi: optional
-    (nsections, ..., 2) per-section initial conditions.
+    sos: (nsections, 6) scipy-layout coefficients — must be concrete
+    (numpy or a constant jax array), the chunked day-scale path plans the
+    impulse-response convolution from the values on the host. zi:
+    optional (nsections, ..., 2) per-section initial conditions (may be
+    traced).
     """
-    sos = jnp.asarray(sos, dtype=x.dtype)
+    sos = np.asarray(sos, dtype=np.float64)
     nsec = sos.shape[0]
     y = x
     for i in range(nsec):
