@@ -254,8 +254,8 @@ def sosfiltfilt(sos, x, zi_template=None, padlen: int = None):
     if padlen >= n:
         raise ValueError(
             f"padlen ({padlen}) must be less than the signal length ({n})")
-    sos = jnp.asarray(sos, dtype=x.dtype)
-    zi_t = jnp.asarray(zi_template, dtype=x.dtype)  # (nsec, 2)
+    sos = np.asarray(sos, dtype=np.float64)
+    zi_t = jnp.asarray(np.asarray(zi_template))  # (nsec, 2)
 
     # odd extension at both ends
     left = 2 * x[..., :1] - x[..., 1:padlen + 1][..., ::-1]

@@ -83,7 +83,7 @@ def _stage_filter(params, npts, fs):
                                           padlen=padlen)
     else:
         def fn(x):
-            return ops.filter.sosfilt(jnp.asarray(sos, x.dtype), x)
+            return ops.filter.sosfilt(sos, x)
     return _Stage(fn, npts, fs)
 
 
@@ -101,7 +101,7 @@ def _stage_decimate(params, npts, fs):
                                fs=fs, output="sos")
 
         def fn(x, sos=sos):
-            y = ops.filter.sosfilt(jnp.asarray(sos, x.dtype), x)
+            y = ops.filter.sosfilt(sos, x)
             return y[..., ::factor]
     return _Stage(fn, npts_out, new_fs)
 
