@@ -22,8 +22,22 @@ import time
 import numpy as np
 
 # persistent compilation cache: repeated bench runs skip the multi-minute
-# AOT compile of the day-scale kernels
+# AOT compile of the day-scale kernels (the env var alone is not always
+# honored; set the config flags explicitly at import)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 
 def measure_device(n, B, imin, imax, iters=10):
