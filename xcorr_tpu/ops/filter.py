@@ -52,7 +52,7 @@ def butter_sos(order: int, frequency, btype: str, sampling_rate: float):
 # samples) is too large for the AOT compiler, and the chunked form also
 # keeps peak memory at one chunk of composed affine maps
 _CHUNKED_THRESHOLD = 1 << 18
-_CHUNK = 1 << 16
+_CHUNK = 1 << 18  # swept on v5e: 2^18 fastest (174 ms / 4 sections / (8, 4.75M))
 
 
 def _biquad_affine_scan(x, b, a, zi=None):
@@ -127,30 +127,32 @@ def _biquad_chunk_plan(b, a, L):
     """
     b = np.asarray(b, dtype=np.float64)
     a = np.asarray(a, dtype=np.float64)
-    A = np.array([[-a[1], 1.0], [-a[2], 0.0]])
-    B = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
+    a1, a2 = a[1], a[2]
+    B1, B2 = b[1] - a1 * b[0], b[2] - a2 * b[0]
 
-    # A^(t+1) entries for t in [0, L)
-    m = np.empty((L, 2, 2))
-    acc = A.copy()
-    for t in range(L):
-        m[t] = acc
-        acc = acc @ A
-    # impulse response h[k] = A^k B for k in [0, L)
-    h = np.empty((L, 2))
-    v = B.copy()
-    for k in range(L):
-        h[k] = v
-        v = A @ v
+    def seq(u0, u1):
+        # generate u[t] with u[t] = -a1 u[t-1] - a2 u[t-2] and the given
+        # first two values, via one lfilter call
+        delta = np.zeros(L)
+        delta[0] = 1.0
+        return sp_signal.lfilter([u0, u1 + a1 * u0], [1.0, a1, a2], delta)
+
+    # A^(t+1) entries (A = [[-a1, 1], [-a2, 0]])
+    m11 = seq(-a1, a1 * a1 - a2)
+    m12 = seq(1.0, -a1)
+    m21 = seq(-a2, a1 * a2)
+    m22 = seq(0.0, -a2)
+    # impulse response h[k] = A^k B
+    h1 = seq(B1, -a1 * B1 + B2)
+    h2 = seq(B2, -a2 * B1)
     nfft = 1
     while nfft < 2 * L:
         nfft *= 2
-    H1 = np.fft.rfft(h[:, 0], nfft)
+    H1 = np.fft.rfft(h1, nfft)
     return {
-        "m11": m[:, 0, 0], "m12": m[:, 0, 1],
-        "m21": m[:, 1, 0], "m22": m[:, 1, 1],
+        "m11": m11, "m12": m12, "m21": m21, "m22": m22,
         "H1_re": H1.real, "H1_im": H1.imag,
-        "h2_rev": h[::-1, 1].copy(),
+        "h2_rev": h2[::-1].copy(),
         "nfft": nfft,
     }
 
