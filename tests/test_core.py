@@ -260,3 +260,17 @@ class TestDeviceEngine:
         client = make_client(missing={"IU.RAR.10.BHZ"})
         device_process(ds, client=client, verb=0)
         assert (ds["status"].values == -1).all()
+
+    def test_device_process_on_mesh(self):
+        """device_process shards the window stack over the CPU mesh."""
+        import jax
+        from xcorr_tpu.parallel import device_process, make_mesh
+        assert len(jax.devices()) == 8
+        # 1h windows at 50% overlap over 4h -> 8 windows = 8 devices
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T04:00"))
+        device_process(ds, client=make_client(), mesh=make_mesh(8),
+                       verb=0)
+        assert (ds["status"].values == 1).all()
+        lagv = ds.coords["lag"].values
+        peak = lagv[int(np.argmax(ds["cc"].values[0, 0]))]
+        assert abs(peak - (-DELAY)) < 1.0

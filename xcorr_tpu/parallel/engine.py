@@ -57,11 +57,13 @@ def _response_key(resp):
 
 def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
                   offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
-                  imin, imax, normalize, resp_a, resp_b, buf_out):
+                  imin, imax, normalize, resp_a, resp_b, buf_out,
+                  mesh=None):
     key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
            span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
            npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
-           _response_key(resp_a), _response_key(resp_b), buf_out)
+           _response_key(resp_a), _response_key(resp_b), buf_out,
+           id(mesh) if mesh is not None else None)
     with _pipeline_lock:
         pipe = _pipeline_cache.get(key)
         if pipe is None:
@@ -70,7 +72,7 @@ def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
                 offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                 index_min=imin, index_max=imax, normalize=normalize,
                 response_a=resp_a, response_b=resp_b,
-                trim_offset=buf_out)
+                trim_offset=buf_out, mesh=mesh)
             _pipeline_cache[key] = pipe
     return pipe
 
@@ -83,7 +85,8 @@ def _chain_compilable(ops_list):
 
 
 def device_process(dataset, client, inventory=None, buffer: float = None,
-                   retry_missing: bool = False, verb: int = 1, **kwargs):
+                   retry_missing: bool = False, mesh=None, verb: int = 1,
+                   **kwargs):
     """Correlate every unprocessed (pair, time) window with on-device
     preprocessing. API mirrors :func:`xcorr_tpu.core.process.process`."""
     dataset.attrs["history"] = (
@@ -200,7 +203,7 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
         [ia[k] for k in good], [ib[k] for k in good],
         npts_raw_a, npts_raw_b, npts,
         imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
-        resp_a, resp_b, buf_out)
+        resp_a, resp_b, buf_out, mesh=mesh)
     if verb:
         print(f"device_process: {len(good)} windows from one "
               f"{tr_a.data.nbytes / 1e6:.0f} MB span transfer")

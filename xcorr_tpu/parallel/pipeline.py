@@ -109,7 +109,8 @@ class SpanPipeline:
     def __init__(self, ops_a, ops_b, span_a, fs_a, span_b, fs_b,
                  offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                  index_min=None, index_max=None, normalize=True,
-                 response_a=None, response_b=None, trim_offset=0):
+                 response_a=None, response_b=None, trim_offset=0,
+                 mesh=None):
         chain_a, n_a, fs_out_a = compile_operations(
             ops_a, npts_raw_a, fs_a, response=response_a, jit=False,
             trim_to=npts, trim_offset=trim_offset)
@@ -124,11 +125,20 @@ class SpanPipeline:
         offsets_a = tuple(int(o) for o in offsets_a)
         offsets_b = tuple(int(o) for o in offsets_b)
 
+        shard = None
+        if mesh is not None and len(offsets_a) % mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P("batch", None))
+
         def step(raw_a, raw_b):
+            # spans replicate; the window stack shards over the mesh
             xa = jnp.stack([jax.lax.dynamic_slice_in_dim(
                 raw_a, o, npts_raw_a) for o in offsets_a])
             yb = jnp.stack([jax.lax.dynamic_slice_in_dim(
                 raw_b, o, npts_raw_b) for o in offsets_b])
+            if shard is not None:
+                xa = jax.lax.with_sharding_constraint(xa, shard)
+                yb = jax.lax.with_sharding_constraint(yb, shard)
             xa = chain_a(xa)
             yb = chain_b(yb)
             return ops.cc.correlate(
