@@ -171,3 +171,55 @@ class TestNcfile:
     def test_rejects_bad_receiver(self):
         with pytest.raises(ValueError):
             xio.ncfile("bad-pair", pd.Timestamp("2014-01-01"), root="/x")
+
+
+class TestNetcdfFuzz:
+    """Property-style netCDF round-trip over random schemas."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_dataset_roundtrip(self, tmp_path, seed):
+        from xcorr_tpu.ndlabel import Dataset
+        rng = np.random.default_rng(seed)
+        ds = Dataset(attrs={"title": f"fuzz {seed}", "idx": int(seed),
+                            "arr": rng.normal(size=3),
+                            "nested": {"a": 1, "b": [1, 2, "x"]}})
+        nd = int(rng.integers(2, 5))
+        dims = []
+        for i in range(nd):
+            name = f"d{i}"
+            size = int(rng.integers(1, 7))
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                ds.coords[name] = np.arange(size, dtype=np.int64)
+            elif kind == 1:
+                ds.coords[name] = np.linspace(0, 1, size)
+            elif kind == 2:
+                ds.coords[name] = pd.date_range("2020-01-01",
+                                                periods=size).values
+            else:
+                ds.coords[name] = np.array([f"s{j}" for j in range(size)],
+                                           dtype=object)
+            dims.append((name, size))
+        for v in range(int(rng.integers(1, 4))):
+            take = [d for d, _ in dims[: int(rng.integers(1, nd + 1))]]
+            shape = tuple(s for d, s in dims if d in take)
+            dtype = rng.choice([np.float32, np.float64, np.int8,
+                                np.int32])
+            ds[f"v{v}"] = (tuple(take),
+                           rng.normal(size=shape).astype(dtype),
+                           {"units": "-", "flag": np.int8(v)})
+        path = str(tmp_path / f"fuzz{seed}.nc")
+        xio.to_netcdf(ds, path)
+        back = xio.from_netcdf(path)
+        assert back.dims == ds.dims
+        for name in ds.data_vars:
+            np.testing.assert_array_equal(back[name].values,
+                                          ds[name].values)
+            assert back[name].dtype == ds[name].dtype
+        for name in ds.coords:
+            a, b = ds.coords[name].values, back.coords[name].values
+            if a.dtype == object:
+                assert list(a) == list(b)
+            else:
+                np.testing.assert_array_equal(a, b)
+        assert back.attrs["nested"] == {"a": 1, "b": [1, 2, "x"]}

@@ -123,3 +123,38 @@ class TestSDSMseed:
             duration=600.0, buffer=30.0, download=False)
         assert len(st) == 1
         assert st[0].stats.npts > 600 * 50
+
+
+class TestCodecFuzz:
+    """Property-style fuzzing of the Steim1 round trip."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_signals_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 20_000))
+        kind = seed % 3
+        if kind == 0:  # small diffs (8-bit packing)
+            data = np.cumsum(rng.integers(-50, 50, n)).astype(np.int32)
+        elif kind == 1:  # large dynamic range (32-bit escapes)
+            data = rng.integers(-2**28, 2**28, n).astype(np.int32)
+        else:  # mixed with long constant runs
+            data = np.repeat(rng.integers(-1000, 1000, max(n // 17, 1)),
+                             17)[:n].astype(np.int32)
+        tr = make_trace(n=1)
+        tr.data = data
+        tr.stats.npts = n
+        reclen = int(rng.choice([256, 512, 1024, 4096]))
+        payload = mseed.encode_mseed(tr, reclen=reclen)
+        assert len(payload) % reclen == 0
+        back = mseed.read_mseed_bytes(payload)
+        merged = np.concatenate([b.data for b in back])
+        np.testing.assert_array_equal(merged, data)
+
+    def test_extreme_values(self):
+        data = np.array([0, 2**30, -2**30, 1, -1, 2**30 - 1],
+                        dtype=np.int32)
+        tr = make_trace(n=1)
+        tr.data = data
+        tr.stats.npts = data.size
+        back = mseed.read_mseed_bytes(mseed.encode_mseed(tr, reclen=256))
+        np.testing.assert_array_equal(back[0].data, data)
