@@ -257,8 +257,50 @@ class TestFourStep:
             fn = fft4.plan_correlate4(n, imin, imax, n1=16,
                                       stageb="pallas")
             got = np.asarray(fn(x, y))
+            # default precision='high' multiplies in bf16x3 (~18 mantissa
+            # bits recovered): relative error ~2^-18 per product. At this
+            # tiny n the CC values are ~0.02 so the absolute tolerance is
+            # looser than the production-scale one (values ~1e-4..2e-3,
+            # measured 1e-7 abs on v5e)
+            np.testing.assert_allclose(got, want, atol=2e-6)
+            fn = fft4.plan_correlate4(n, imin, imax, n1=16,
+                                      stageb="pallas",
+                                      precision="highest")
+            got = np.asarray(fn(x, y))
             np.testing.assert_allclose(got, want, atol=5e-7)
         finally:
             pl.pallas_call = orig
             pallas_fft.plan_fused_stageb.cache_clear()
             fft4.plan_correlate4.cache_clear()
+
+
+class TestFourStepPlan:
+    """Host-side invariants of the four-step plan geometry."""
+
+    @pytest.mark.parametrize("n,imin,imax,n1", [
+        (1000, None, None, 8),       # full 2n-1 lag window
+        (1000, 999, 1500, 8),        # positive lags only
+        (1000, 200, 999, 8),         # negative lags only
+        (1000, 500, 1500, 8),        # straddles zero lag (two segments)
+        (4_320_000, 4_319_999, 5_939_999, 576),  # production config
+        (4_320_000, None, None, 576),
+        (777, 100, 1453, 16),        # odd window, nearly full
+    ])
+    def test_lag_window_is_slice_contiguous(self, n, imin, imax, n1):
+        """The pruned flat layout must expose the lag window as static
+        slices (asserted inside _plan against the element gather)."""
+        from xcorr_tpu.ops import fft4
+        nn = 2 * n - 1
+        imin = 0 if imin is None else imin
+        imax = nn if imax is None else imax
+        p = fft4._plan(n, imin, imax, n1)
+        total = sum(ln for _, ln in p["segs_flat"])
+        assert total == imax - imin
+        assert len(p["segs_flat"]) in (1, 2)
+
+    def test_segments_cover_pruned_rows_only(self):
+        from xcorr_tpu.ops import fft4
+        p = fft4._plan(2048, 1000, 3000, 8)
+        flat_max = len(p["out_rows"]) * p["N2"]
+        for s, ln in p["segs_flat"]:
+            assert 0 <= s and s + ln <= flat_max

@@ -114,6 +114,18 @@ def _plan(n: int, index_min: int, index_max: int, n1: int):
         c = (i - z) % N
         gather[j] = row_pos[c // N2] * N2 + (c % N2)
 
+    # each circular segment is CONTIGUOUS in the pruned flat layout
+    # (consecutive lag -> consecutive circular index -> next pruned row
+    # starts exactly where the previous ended), so the lag window is a
+    # concat of static slices — no 1.6M-element gather op on device
+    segs_flat = []
+    for lo, hi in segs:
+        start = row_pos[lo // N2] * N2 + (lo % N2)
+        segs_flat.append((start, hi - lo))
+    assert np.array_equal(
+        np.concatenate([np.arange(s, s + ln) for s, ln in segs_flat]),
+        gather), "pruned lag window is not slice-contiguous"
+
     return {
         "N1": N1, "N2": N2, "N": N, "rows_in": rows_in,
         "W1": W1.astype(np.complex64),
@@ -121,7 +133,16 @@ def _plan(n: int, index_min: int, index_max: int, n1: int):
         "W1inv": W1inv.astype(np.complex64),
         "out_rows": out_rows,
         "gather": gather,
+        "segs_flat": tuple(segs_flat),
     }
+
+
+def _take_lag_window(out_flat, segs_flat):
+    """Static-slice extraction of the lag window from the pruned flat
+    correlation rows (see ``segs_flat`` in :func:`_plan`)."""
+    parts = [jax.lax.slice_in_dim(out_flat, s, s + ln, axis=1)
+             for s, ln in segs_flat]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 def _freq_reverse2(Z):
@@ -149,7 +170,8 @@ def _freq_reverse2(Z):
 @lru_cache(maxsize=32)
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
                     n1: int = 576, normalize: bool = True,
-                    packed: bool = False, stageb: str = "fft"):
+                    packed: bool = False, stageb: str = "fft",
+                    precision: str = "high"):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
 
     x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
@@ -171,6 +193,11 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
 
     Swept on v5e at day scale: n1=576 -> 17.9 pair-days/s, 1024 -> 17.3,
     1152/2304 -> 16.2, 512 -> 16.4, 256 -> 11.5 (monolithic: 4.8).
+    ``stageb='pallas'`` (the accelerator default via :mod:`ops.cc`) runs
+    the whole stage-B chain in one kernel launch: 55.5 pair-days/s at
+    ``precision='high'`` (max err 6e-8 vs a f64 oracle), 83.9 at
+    ``'default'`` (bf16 MXU rounding, max err 1e-5 — off the 1e-6
+    oracle bar, so 'high' is the default; see ops.pallas_fft).
     """
     if packed and stageb != "fft":
         raise ValueError("packed Hermitian split assumes natural fast-axis "
@@ -182,7 +209,14 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
 
     if stageb == "pallas":
-        return _build_pallas_corr(n, index_min, index_max, p, normalize)
+        return _build_pallas_corr(n, index_min, index_max, p, normalize,
+                                  precision)
+
+    # complex einsums: XLA's native 3-pass HIGH (no bf16-split form for
+    # complex operands; these paths have no pallas-layout interaction)
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
 
     # constants stay host-side as float32 pairs: some PJRT backends
     # (axon tunnel) cannot transfer complex arrays in either direction,
@@ -191,7 +225,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     W1_re, W1_im = p["W1"].real.copy(), p["W1"].imag.copy()
     T_re, T_im = p["T"].real.copy(), p["T"].imag.copy()
     Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
-    gather = p["gather"]
+    segs_flat = p["segs_flat"]
 
     if stageb == "matmul":
         P, Q = _split_pq(N2)
@@ -219,9 +253,11 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
             WPj, WQj, T2j = load2()
             shp = a.shape[:-1]
             A = a.reshape(shp + (P, Q))          # n2 = p*Q + q
-            A = jnp.einsum("kp,...pq->...kq", WPj, A)  # over p
+            A = jnp.einsum("kp,...pq->...kq", WPj, A,
+                          precision=prec)  # over p
             A = A * T2j
-            A = jnp.einsum("lq,...kq->...kl", WQj, A)  # over q
+            A = jnp.einsum("lq,...kq->...kl", WQj, A,
+                          precision=prec)  # over q
             return A.reshape(shp + (N2,))        # (k_p, k_q) flattened
 
         def inv2(s):
@@ -229,9 +265,11 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
             WPj, WQj, T2j = load2()
             shp = s.shape[:-1]
             S2 = s.reshape(shp + (P, Q))         # (k_p, k_q)
-            S2 = jnp.einsum("lq,...kl->...kq", jnp.conj(WQj), S2) / Q
+            S2 = jnp.einsum("lq,...kl->...kq", jnp.conj(WQj), S2,
+                            precision=prec) / Q
             S2 = S2 * jnp.conj(T2j)
-            S2 = jnp.einsum("kp,...kq->...pq", jnp.conj(WPj), S2) / P
+            S2 = jnp.einsum("kp,...kq->...pq", jnp.conj(WPj), S2,
+                            precision=prec) / P
             return S2.reshape(shp + (N2,))       # n2 = p*Q + q
     else:
         def fwd2(a):
@@ -245,7 +283,8 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
         pad = rows_in * N2 - n
         A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
         A = A.astype(jnp.complex64)
-        Ah = jnp.einsum("kr,brj->bkj", W1, A)    # MXU stage
+        Ah = jnp.einsum("kr,brj->bkj", W1, A,
+                        precision=prec)  # MXU stage
         Ah = Ah * T
         return fwd2(Ah)                          # stage B
 
@@ -268,9 +307,10 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
             S = Fx * jnp.conj(Fy)
         C = inv2(S)                               # (B, N1, N2)
         C = C * Tc
-        out = jnp.einsum("rk,bkj->brj", W1inv, C)  # pruned MXU stage
+        out = jnp.einsum("rk,bkj->brj", W1inv, C,
+                         precision=prec)  # pruned MXU stage
         out = out.real.reshape(x.shape[0], -1)
-        r = out[:, gather]
+        r = _take_lag_window(out, segs_flat)
         if normalize:
             nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
             ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
@@ -281,27 +321,45 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     return corr
 
 
-def _build_pallas_corr(n, index_min, index_max, p, normalize):
-    """Four-step correlation with the fused Pallas stage-B: everything is
+def _precision(name):
+    """XLA-side einsum precision. XLA's native 3-pass HIGH is the right
+    tool here — a hand-split bf16x3 einsum does NOT survive XLA's
+    algebraic simplifier, which merges shared-operand dots back together
+    (dot(m,vh)+dot(m,vl) -> dot(m,vh+vl) in bf16), silently dropping the
+    lo parts (measured: error identical to 1-pass bf16). Inside Mosaic
+    kernels the situation is inverted — no such rewrite, but no native
+    HIGH lowering either — hence ops.pallas_fft's manual expansion."""
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
+def _einsum(sub, m, v, prec):
+    return jnp.einsum(sub, m, v, precision=prec)
+
+
+def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
+    """Four-step correlation with the whole stage-B chain fused into ONE
+    Pallas launch (:func:`ops.pallas_fft.plan_fused_corr`): everything is
     real-valued at the XLA level (x is real and only Re(output) is
     needed), so stage-A costs 2 real MXU matmuls per signal and the
-    pruned inverse costs 2."""
-    from .pallas_fft import plan_fused_stageb
+    pruned inverse costs 2; the intermediate spectra never reach HBM."""
+    from .pallas_fft import plan_fused_corr
 
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
     W1_re, W1_im = p["W1"].real.copy(), p["W1"].imag.copy()
     Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
-    gather = p["gather"]
-    fwd2, inv2 = plan_fused_stageb(N1, N2, N)
+    segs_flat = p["segs_flat"]
+    corr2 = plan_fused_corr(N1, N2, N, precision)
+    prec = _precision(precision)
 
-    def forward(v, w1r, w1i):
+    def stage_a(v, w1r, w1i):
         pad = rows_in * N2 - n
         A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
-        ah_re = jnp.einsum("kr,brj->bkj", w1r, A)
-        ah_im = jnp.einsum("kr,brj->bkj", w1i, A)
+        ah_re = _einsum("kr,brj->bkj", w1r, A, prec)
+        ah_im = _einsum("kr,brj->bkj", w1i, A, prec)
         B = v.shape[0]
-        fr, fi = fwd2(ah_re.reshape(B * N1, N2), ah_im.reshape(B * N1, N2))
-        return fr, fi
+        return ah_re.reshape(B * N1, N2), ah_im.reshape(B * N1, N2)
 
     @jax.jit
     def corr(x, y):
@@ -310,15 +368,15 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize):
         wir = jnp.asarray(Wi_re)
         wii = jnp.asarray(Wi_im)
         B = x.shape[0]
-        fxr, fxi = forward(x, w1r, w1i)
-        fyr, fyi = forward(y, w1r, w1i)
-        cr, ci = inv2(fxr, fxi, fyr, fyi)
+        axr, axi = stage_a(x, w1r, w1i)
+        ayr, ayi = stage_a(y, w1r, w1i)
+        cr, ci = corr2(axr, axi, ayr, ayi)
         cr = cr.reshape(B, N1, N2)
         ci = ci.reshape(B, N1, N2)
         # Re(W1inv @ C): two real matmuls
-        out = (jnp.einsum("rk,bkj->brj", wir, cr)
-               - jnp.einsum("rk,bkj->brj", wii, ci))
-        r = out.reshape(B, -1)[:, jnp.asarray(gather)]
+        out = (_einsum("rk,bkj->brj", wir, cr, prec)
+               - _einsum("rk,bkj->brj", wii, ci, prec))
+        r = _take_lag_window(out.reshape(B, -1), segs_flat)
         if normalize:
             nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
             ny = jnp.linalg.norm(y, axis=-1, keepdims=True)

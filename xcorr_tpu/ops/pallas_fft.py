@@ -11,7 +11,15 @@ direction costs exactly one HBM read + one write:
 * ``fwd``: ``F = DFT_N2(Ah * T)`` with the length-N2 DFT decomposed as
   ``P x Q`` MXU matmuls inside VMEM, output in permuted (k_p, k_q) order;
 * ``inv``: ``C = IDFT_N2(Fx * conj(Fy)) * conj(T)`` — spectral multiply,
-  the exact adjoint matmuls, and the outer conjugate twiddle in one pass.
+  the exact adjoint matmuls, and the outer conjugate twiddle in one pass;
+* ``corr`` (:func:`plan_fused_corr`, the production path): BOTH forward
+  stage-B chains, the spectral multiply, and the inverse chain in a
+  SINGLE kernel. The cross-spectrum is per-bin and the stage-B transform
+  is row-local, so nothing in the whole chain crosses the 8-row block:
+  the intermediate spectra never touch HBM at all. Per block this reads
+  the four stage-A planes once and writes the two correlation planes
+  once — versus three separate launches it removes one full write + one
+  full read of both spectra (~4.8 GB per production batch).
 
 Because the inverse is the exact adjoint of the forward, the internal
 output permutation cancels; the correlation result is identical (f32
@@ -33,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["plan_fused_stageb", "fused_available"]
+__all__ = ["plan_fused_stageb", "plan_fused_corr", "fused_available"]
 
 ROWS = 8  # sublane-tile rows per block
 
@@ -50,25 +58,82 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _cdot(ar, ai, br, bi, dn):
-    """Complex dot_general via 4 real MXU matmuls."""
+# MXU passes for the in-kernel DFT matmuls. The TPU MXU multiplies in
+# bfloat16; a single pass (jax's f32 default) rounds every operand to 8
+# mantissa bits (~4e-3 relative) which leaks ~1e-5 absolute error into
+# the normalized CC — 3.5e-3 of the CC peak, far off the 1e-6 oracle
+# target. 'high' (the default) recovers ~18-bit multiplies with a
+# MANUAL bf16 hi/lo expansion (Mosaic has no native HIGH lowering) at
+# ~1.5x the single-pass wall time. 'highest' (Mosaic's 6-pass f32) is
+# exact but ~30x slower end-to-end — verification only. Measured on
+# v5e-1 at production size (n=4.32M, B=16, vs a host f64 oracle):
+#   default  23.8 ms = 83.9 pd/s   max err 9.6e-6 (4.1e-3 of peak)
+#   high     36.0 ms = 55.5 pd/s   max err 6.2e-8 (2.7e-5 of peak)
+#   highest  ~1.1 s  =  1.7 pd/s   max err 6.6e-10
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _split_bf16(v):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == v to ~16 mantissa bits."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b, dn):
+    """f32-quality matmul from 3 single-pass bf16 MXU products:
+    a·b = ah·bh + ah·bl + al·bh (the dropped al·bl term is ~2^-32)."""
     f32 = jnp.float32
-    rr = jax.lax.dot_general(ar, br, dn, preferred_element_type=f32)
-    ii = jax.lax.dot_general(ai, bi, dn, preferred_element_type=f32)
-    ri = jax.lax.dot_general(ar, bi, dn, preferred_element_type=f32)
-    ir = jax.lax.dot_general(ai, br, dn, preferred_element_type=f32)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    r = jax.lax.dot_general(ah, bh, dn, preferred_element_type=f32)
+    r = r + jax.lax.dot_general(ah, bl, dn, preferred_element_type=f32)
+    r = r + jax.lax.dot_general(al, bh, dn, preferred_element_type=f32)
+    return r
+
+
+KARATSUBA = True  # 3-product complex dots (9 bf16 passes vs 12)
+
+
+def _cdot(ar, ai, br, bi, dn, prec):
+    """Complex dot_general: 4 real MXU matmuls, or — when prec is the
+    string 'high3' (manual bf16x3 expansion) — 4x3 = 12 single-pass bf16
+    products (or Karatsuba's 3x3 = 9 with ``KARATSUBA``; the t3 sums
+    grow one bit, costing ~1 ulp of the recovered fidelity)."""
+    f32 = jnp.float32
+    if prec == "high3":
+        if KARATSUBA:
+            t1 = _dot3(ar, br, dn)
+            t2 = _dot3(ai, bi, dn)
+            t3 = _dot3(ar + ai, br + bi, dn)
+            return t1 - t2, t3 - t1 - t2
+        rr = _dot3(ar, br, dn)
+        ii = _dot3(ai, bi, dn)
+        ri = _dot3(ar, bi, dn)
+        ir = _dot3(ai, br, dn)
+    else:
+        rr = jax.lax.dot_general(ar, br, dn, preferred_element_type=f32,
+                                 precision=prec)
+        ii = jax.lax.dot_general(ai, bi, dn, preferred_element_type=f32,
+                                 precision=prec)
+        ri = jax.lax.dot_general(ar, bi, dn, preferred_element_type=f32,
+                                 precision=prec)
+        ir = jax.lax.dot_general(ai, br, dn, preferred_element_type=f32,
+                                 precision=prec)
     return rr - ii, ri + ir
 
 
-@lru_cache(maxsize=8)
-def plan_fused_stageb(N1: int, N2: int, N: int):
-    """(fwd, inv) fused stage-B callables for the (N1, N2) geometry.
-
-    fwd(Ah_re, Ah_im) -> (F_re, F_im); inv(Fx_re, Fx_im, Fy_re, Fy_im)
-    -> (C_re, C_im). All arrays (B*N1, N2) float32 with B*N1 % ROWS == 0.
-    """
+def _geometry(N1: int, N2: int, N: int, precision: str):
+    """Shared plan pieces: P x Q split, constants, DFT/adjoint closures,
+    block specs and a pallas_call wrapper factory."""
     if N1 % ROWS:
         raise ValueError(f"N1={N1} must be a multiple of {ROWS}")
+    # 'high' -> the manual bf16x3 expansion (Mosaic's own HIGH lowering
+    # is NotImplemented; its HIGHEST is ~30x slower than this)
+    prec = "high3" if precision == "high" else _PRECISIONS[precision]
     P, Q = _split_pq_pallas(N2)
     nb_t = N1 // ROWS  # T blocks per batch element
 
@@ -92,42 +157,25 @@ def plan_fused_stageb(N1: int, N2: int, N: int):
         ar = ar.reshape(ROWS, P, Q)
         ai = ai.reshape(ROWS, P, Q)
         # over P: result (ROWS, Q, Pk) -> swap to (ROWS, Pk, Q)
-        gr, gi = _cdot(ar, ai, wp_re, wp_im, dn_fwd_p)
+        gr, gi = _cdot(ar, ai, wp_re, wp_im, dn_fwd_p, prec)
         gr = jnp.swapaxes(gr, 1, 2)
         gi = jnp.swapaxes(gi, 1, 2)
         gr, gi = _cmul(gr, gi, t2_re[None], t2_im[None])
         # over Q: result (ROWS, Pk, Qk)
-        hr, hi = _cdot(gr, gi, wq_re, wq_im, dn_fwd_q)
+        hr, hi = _cdot(gr, gi, wq_re, wq_im, dn_fwd_q, prec)
         return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
 
     def _idft(sr, si, wp_re, wp_im, wq_re, wq_im, t2_re, t2_im):
         sr = sr.reshape(ROWS, P, Q)
         si = si.reshape(ROWS, P, Q)
-        gr, gi = _cdot(sr, si, wq_re, -wq_im, dn_inv_q)
+        gr, gi = _cdot(sr, si, wq_re, -wq_im, dn_inv_q, prec)
         gr = gr * (1.0 / Q)
         gi = gi * (1.0 / Q)
         gr, gi = _cmul(gr, gi, t2_re[None], -t2_im[None])
-        hr, hi = _cdot(gr, gi, wp_re, -wp_im, dn_inv_p)
+        hr, hi = _cdot(gr, gi, wp_re, -wp_im, dn_inv_p, prec)
         hr = jnp.swapaxes(hr, 1, 2) * (1.0 / P)
         hi = jnp.swapaxes(hi, 1, 2) * (1.0 / P)
         return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
-
-    def fwd_kernel(ah_re, ah_im, t_re, t_im, wp_re, wp_im, wq_re, wq_im,
-                   t2_re, t2_im, f_re, f_im):
-        ar, ai = _cmul(ah_re[...], ah_im[...], t_re[...], t_im[...])
-        hr, hi = _dft(ar, ai, wp_re[...], wp_im[...], wq_re[...],
-                      wq_im[...], t2_re[...], t2_im[...])
-        f_re[...] = hr
-        f_im[...] = hi
-
-    def inv_kernel(fx_re, fx_im, fy_re, fy_im, t_re, t_im, wp_re, wp_im,
-                   wq_re, wq_im, t2_re, t2_im, c_re, c_im):
-        sr, si = _cmul(fx_re[...], fx_im[...], fy_re[...], -fy_im[...])
-        hr, hi = _idft(sr, si, wp_re[...], wp_im[...], wq_re[...],
-                       wq_im[...], t2_re[...], t2_im[...])
-        cr, ci = _cmul(hr, hi, t_re[...], -t_im[...])
-        c_re[...] = cr
-        c_im[...] = ci
 
     data_spec = pl.BlockSpec((ROWS, N2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -161,7 +209,69 @@ def plan_fused_stageb(N1: int, N2: int, N: int):
             )(*arrays, *c)
         return run
 
+    return _dft, _idft, _call
+
+
+@lru_cache(maxsize=8)
+def plan_fused_stageb(N1: int, N2: int, N: int,
+                      precision: str = "high"):
+    """(fwd, inv) fused stage-B callables for the (N1, N2) geometry.
+
+    fwd(Ah_re, Ah_im) -> (F_re, F_im); inv(Fx_re, Fx_im, Fy_re, Fy_im)
+    -> (C_re, C_im). All arrays (B*N1, N2) float32 with B*N1 % ROWS == 0.
+    """
+    _dft, _idft, _call = _geometry(N1, N2, N, precision)
+
+    def fwd_kernel(ah_re, ah_im, t_re, t_im, wp_re, wp_im, wq_re, wq_im,
+                   t2_re, t2_im, f_re, f_im):
+        ar, ai = _cmul(ah_re[...], ah_im[...], t_re[...], t_im[...])
+        hr, hi = _dft(ar, ai, wp_re[...], wp_im[...], wq_re[...],
+                      wq_im[...], t2_re[...], t2_im[...])
+        f_re[...] = hr
+        f_im[...] = hi
+
+    def inv_kernel(fx_re, fx_im, fy_re, fy_im, t_re, t_im, wp_re, wp_im,
+                   wq_re, wq_im, t2_re, t2_im, c_re, c_im):
+        sr, si = _cmul(fx_re[...], fx_im[...], fy_re[...], -fy_im[...])
+        hr, hi = _idft(sr, si, wp_re[...], wp_im[...], wq_re[...],
+                       wq_im[...], t2_re[...], t2_im[...])
+        cr, ci = _cmul(hr, hi, t_re[...], -t_im[...])
+        c_re[...] = cr
+        c_im[...] = ci
+
     return _call(fwd_kernel, 2), _call(inv_kernel, 4)
+
+
+@lru_cache(maxsize=8)
+def plan_fused_corr(N1: int, N2: int, N: int,
+                    precision: str = "high"):
+    """Whole stage-B correlation in ONE kernel launch.
+
+    corr(Ahx_re, Ahx_im, Ahy_re, Ahy_im) -> (C_re, C_im), all arrays
+    (B*N1, N2) float32. Per 8-row block: twiddle+DFT both signals,
+    multiply the spectra (per-bin, hence block-local), adjoint-DFT and
+    conjugate-twiddle the product — the spectra live only in VMEM.
+    Identical math/op-order to running plan_fused_stageb's fwd twice
+    plus inv once, minus two full HBM round-trips of the spectra.
+    """
+    _dft, _idft, _call = _geometry(N1, N2, N, precision)
+
+    def corr_kernel(axr, axi, ayr, ayi, t_re, t_im, wp_re, wp_im,
+                    wq_re, wq_im, t2_re, t2_im, c_re, c_im):
+        tr, ti = t_re[...], t_im[...]
+        w = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
+             t2_re[...], t2_im[...])
+        ar, ai = _cmul(axr[...], axi[...], tr, ti)
+        fxr, fxi = _dft(ar, ai, *w)
+        br, bi = _cmul(ayr[...], ayi[...], tr, ti)
+        fyr, fyi = _dft(br, bi, *w)
+        sr, si = _cmul(fxr, fxi, fyr, -fyi)
+        hr, hi = _idft(sr, si, *w)
+        cr, ci = _cmul(hr, hi, tr, -ti)
+        c_re[...] = cr
+        c_im[...] = ci
+
+    return _call(corr_kernel, 4)
 
 
 def fused_available() -> bool:
