@@ -169,7 +169,7 @@ def _freq_reverse2(Z):
 
 @lru_cache(maxsize=32)
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
-                    n1: int = 576, normalize: bool = True,
+                    n1: int = None, normalize: bool = True,
                     packed: bool = False, stageb: str = "fft",
                     precision: str = "high"):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
@@ -199,6 +199,13 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     ``'default'`` (bf16 MXU rounding, max err 1e-5 — off the 1e-6
     oracle bar, so 'high' is the default; see ops.pallas_fft).
     """
+    if n1 is None:
+        # per-path defaults from the v5e day-scale sweeps: the fused
+        # pallas kernel prefers a smaller N2 (less in-kernel DFT work
+        # per element, P=96/Q=128 MXU-friendly split: 768 beats 576 by
+        # ~6%, 1152 regresses — P=60 tiles poorly); the XLA-FFT paths
+        # peak at 576
+        n1 = 768 if stageb == "pallas" else 576
     if packed and stageb != "fft":
         raise ValueError("packed Hermitian split assumes natural fast-axis "
                          "frequency order; use stageb='fft' with packed")
