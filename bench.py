@@ -114,6 +114,17 @@ def main():
     # pair-day is 8 windows
     ref_pair_days_per_sec = (n / 4_320_000) / (t_ref * 8)
 
+    if "--roofline" in sys.argv:
+        # effective HBM bandwidth of the measured batch vs the v5e-1
+        # peak (~819 GB/s); stderr so stdout stays one JSON line
+        from xcorr_tpu.ops.fft4 import traffic_model
+        nbytes = traffic_model(n, imin, imax, batch=B)
+        eff = nbytes / dt
+        print(f"roofline: {nbytes/1e9:.2f} GB/batch @ {dt*1e3:.1f} ms "
+              f"= {eff/1e9:.0f} GB/s effective "
+              f"({eff/819e9*100:.0f}% of v5e-1 HBM peak)",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "CCF pair-days/sec/chip at 50 Hz"
                   + (" (small config)" if small else ""),

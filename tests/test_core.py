@@ -274,3 +274,24 @@ class TestDeviceEngine:
         lagv = ds.coords["lag"].values
         peak = lagv[int(np.argmax(ds["cc"].values[0, 0]))]
         assert abs(peak - (-DELAY)) < 1.0
+
+    def test_device_process_stage_timer(self, capsys):
+        """timer= accumulates fetch/pipeline/device/bookkeeping stages;
+        verb>=2 with no timer prints a local report."""
+        from xcorr_tpu.parallel import device_process
+        from xcorr_tpu.util.profiler import StageTimer
+
+        timer = StageTimer()
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        device_process(ds, client=make_client(), verb=0, timer=timer)
+        stages = timer.stages
+        for stage in ("fetch-archive", "pipeline-build", "device",
+                      "bookkeeping"):
+            assert stage in stages and stages[stage] >= 0.0
+        d = timer.as_dict()
+        assert d["device"]["items"] > 0 and d["device"]["GB"] > 0
+
+        ds2 = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        device_process(ds2, client=make_client(), verb=2)
+        out = capsys.readouterr().out
+        assert "Stage timings" in out and "device" in out

@@ -400,3 +400,31 @@ def correlate4(x, y, index_min: int = None, index_max: int = None,
     fn = plan_correlate4(x.shape[-1], index_min, index_max, n1=n1,
                          normalize=normalize, stageb=stageb)
     return fn(x, y)
+
+
+def traffic_model(n: int, index_min: int = None, index_max: int = None,
+                  n1: int = None, batch: int = 16):
+    """HBM traffic (bytes) of one fused-pallas correlation batch.
+
+    Counts each tensor once per producing/consuming pass: stage-A reads
+    the padded inputs and writes 4 f32 planes (re/im x 2 signals); the
+    fused kernel reads those and writes the 2 correlation planes; the
+    pruned inverse einsums read both planes and write the out_rows
+    block; the lag-window slices copy the result. Used for %-of-roofline
+    reporting (v5e-1 peak HBM ~819 GB/s).
+    """
+    nn = 2 * n - 1
+    index_min = 0 if index_min is None else index_min
+    index_max = nn if index_max is None else index_max
+    if n1 is None:
+        n1 = 768
+    p = _plan(n, index_min, index_max, n1)
+    N1, N2, rows_in = p["N1"], p["N2"], p["rows_in"]
+    f = 4  # float32
+    plane = N1 * N2 * f
+    stage_a = 2 * (rows_in * N2 * f + 2 * plane)   # read A, write re+im
+    kernel = 4 * plane + 2 * plane                 # read 4, write 2
+    rows_out = len(p["out_rows"])
+    inverse = 2 * plane + rows_out * N2 * f
+    window = 2 * (index_max - index_min) * f
+    return batch * (stage_a + kernel + inverse + window)

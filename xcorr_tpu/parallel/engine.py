@@ -86,9 +86,20 @@ def _chain_compilable(ops_list):
 
 def device_process(dataset, client, inventory=None, buffer: float = None,
                    retry_missing: bool = False, mesh=None, verb: int = 1,
-                   **kwargs):
+                   timer=None, **kwargs):
     """Correlate every unprocessed (pair, time) window with on-device
-    preprocessing. API mirrors :func:`xcorr_tpu.core.process.process`."""
+    preprocessing. API mirrors :func:`xcorr_tpu.core.process.process`.
+
+    ``timer``: optional :class:`xcorr_tpu.util.profiler.StageTimer` that
+    accumulates per-stage wall time (fetch / pipeline-build / device /
+    bookkeeping) across day-tasks; with ``verb >= 2`` and no timer given,
+    a local one is created and its report printed at the end.
+    """
+    own_timer = timer is None and verb >= 2
+    if own_timer:
+        timer = util.profiler.StageTimer()
+    if timer is None:
+        timer = util.profiler.StageTimer()  # unreported no-op sink
     dataset.attrs["history"] = (
         dataset.attrs.get("history", "") +
         f", Device-process started @ {pd.to_datetime('now')}")
@@ -145,7 +156,8 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
             return None
         return st[0]
 
-    tr_a, tr_b = fetch_raw(r_a), fetch_raw(r_b)
+    with timer("fetch-archive"):
+        tr_a, tr_b = fetch_raw(r_a), fetch_raw(r_b)
     if tr_a is None or tr_b is None:
         for it in work:
             status[0, it] = -1
@@ -196,20 +208,25 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
     # compiled chains trim the buffer at the final rate; each raw span
     # ships to the device ONCE and windows slice out on device
     buf_out = int(round(buffer * fs_out))
-    pipe = _get_pipeline(
-        [op for op in ops_a if op[0] not in HOST_OPS],
-        [op for op in ops_b if op[0] not in HOST_OPS],
-        tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
-        [ia[k] for k in good], [ib[k] for k in good],
-        npts_raw_a, npts_raw_b, npts,
-        imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
-        resp_a, resp_b, buf_out, mesh=mesh)
+    with timer("pipeline-build"):
+        pipe = _get_pipeline(
+            [op for op in ops_a if op[0] not in HOST_OPS],
+            [op for op in ops_b if op[0] not in HOST_OPS],
+            tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
+            [ia[k] for k in good], [ib[k] for k in good],
+            npts_raw_a, npts_raw_b, npts,
+            imin, imax, dataset["cc"].attrs.get("normalize", 1) == 1,
+            resp_a, resp_b, buf_out, mesh=mesh)
     if verb:
         print(f"device_process: {len(good)} windows from one "
               f"{tr_a.data.nbytes / 1e6:.0f} MB span transfer")
-    ccf = pipe(np.asarray(tr_a.data, dtype=np.float32),
-               np.asarray(tr_b.data, dtype=np.float32))
+    with timer("device", nbytes=tr_a.data.nbytes + tr_b.data.nbytes,
+               items=len(good)):
+        ccf = pipe(np.asarray(tr_a.data, dtype=np.float32),
+                   np.asarray(tr_b.data, dtype=np.float32))
 
+    bk = timer("bookkeeping")
+    bk.__enter__()
     for b, k in enumerate(good):
         it = work[k]
         dataset["cc"].values[0, it] = ccf[b]
@@ -221,6 +238,9 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
              + pd.to_timedelta(window_length / 2, unit="s")
              - times[it]) / pd.Timedelta("1s")
     _finish(dataset)
+    bk.__exit__(None, None, None)
+    if own_timer:
+        print(timer.report())
     return dataset
 
 
