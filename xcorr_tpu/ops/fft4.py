@@ -200,12 +200,12 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     oracle bar, so 'high' is the default; see ops.pallas_fft).
     """
     if n1 is None:
-        # per-path defaults from the v5e day-scale sweeps: the fused
-        # pallas kernel prefers a smaller N2 (less in-kernel DFT work
-        # per element, P=96/Q=128 MXU-friendly split: 768 beats 576 by
-        # ~6%, 1152 regresses — P=60 tiles poorly); the XLA-FFT paths
-        # peak at 576
-        n1 = 768 if stageb == "pallas" else 576
+        # per-path defaults from the v5e day-scale sweeps. The fused
+        # pallas kernel wants N2 = 16384 = 128 x 128: with P = Q = 128
+        # every matmul and twiddle tile is lane/sublane-native (n1=528 ->
+        # 31.6 ms/batch vs 768/P=96 -> 36.2, 576/P=120 -> 38.5, 1152/P=60
+        # -> 65; 384 fails to compile). The XLA-FFT paths peak at 576.
+        n1 = 528 if stageb == "pallas" else 576
     if packed and stageb != "fft":
         raise ValueError("packed Hermitian split assumes natural fast-axis "
                          "frequency order; use stageb='fft' with packed")

@@ -142,26 +142,27 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
     WP = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(P)) / P)
     WQ = np.exp(-2j * np.pi * np.outer(np.arange(Q), np.arange(Q)) / Q)
     T2 = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(Q)) / N2)
+    T2T = T2.T.copy()  # (q, k_p) layout for the transpose-free forward
     c = [T.real.astype(np.float32), T.imag.astype(np.float32),
          WP.real.astype(np.float32), WP.imag.astype(np.float32),
          WQ.real.astype(np.float32), WQ.imag.astype(np.float32),
-         T2.real.astype(np.float32), T2.imag.astype(np.float32)]
+         T2.real.astype(np.float32), T2.imag.astype(np.float32),
+         T2T.real.astype(np.float32), T2T.imag.astype(np.float32)]
 
     # contraction specs
     dn_fwd_p = (((1,), (1,)), ((), ()))   # (R,P,Q) x (Pk,P) over P
-    dn_fwd_q = (((2,), (1,)), ((), ()))   # (R,Pk,Q) x (Qk,Q) over Q
+    dn_fwd_q = (((1,), (1,)), ((), ()))   # (R,Q,Pk) x (Qk,Q) over Q
     dn_inv_q = (((2,), (0,)), ((), ()))   # (R,Pk,Qk) x (Qk,Q) over Qk
     dn_inv_p = (((1,), (0,)), ((), ()))   # (R,Pk,Q) x (Pk,P) over Pk
 
-    def _dft(ar, ai, wp_re, wp_im, wq_re, wq_im, t2_re, t2_im):
+    def _dft(ar, ai, wp_re, wp_im, wq_re, wq_im, t2t_re, t2t_im):
+        # transpose-free: stay in the (ROWS, Q, Pk) layout the P-stage
+        # produces; the inner twiddle arrives host-transposed (q, k_p)
+        # and the Q-stage contracts dim 1 directly -> (ROWS, Pk, Qk)
         ar = ar.reshape(ROWS, P, Q)
         ai = ai.reshape(ROWS, P, Q)
-        # over P: result (ROWS, Q, Pk) -> swap to (ROWS, Pk, Q)
         gr, gi = _cdot(ar, ai, wp_re, wp_im, dn_fwd_p, prec)
-        gr = jnp.swapaxes(gr, 1, 2)
-        gi = jnp.swapaxes(gi, 1, 2)
-        gr, gi = _cmul(gr, gi, t2_re[None], t2_im[None])
-        # over Q: result (ROWS, Pk, Qk)
+        gr, gi = _cmul(gr, gi, t2t_re[None], t2t_im[None])
         hr, hi = _cdot(gr, gi, wq_re, wq_im, dn_fwd_q, prec)
         return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
 
@@ -187,8 +188,10 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
                            memory_space=pltpu.VMEM)
     t2_spec = pl.BlockSpec((P, Q), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
+    t2t_spec = pl.BlockSpec((Q, P), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     const_specs = [t_spec, t_spec, wp_spec, wp_spec, wq_spec, wq_spec,
-                   t2_spec, t2_spec]
+                   t2_spec, t2_spec, t2t_spec, t2t_spec]
 
     def _call(kernel, n_data):
         def run(*arrays):
@@ -223,15 +226,16 @@ def plan_fused_stageb(N1: int, N2: int, N: int,
     _dft, _idft, _call = _geometry(N1, N2, N, precision)
 
     def fwd_kernel(ah_re, ah_im, t_re, t_im, wp_re, wp_im, wq_re, wq_im,
-                   t2_re, t2_im, f_re, f_im):
+                   t2_re, t2_im, t2t_re, t2t_im, f_re, f_im):
         ar, ai = _cmul(ah_re[...], ah_im[...], t_re[...], t_im[...])
         hr, hi = _dft(ar, ai, wp_re[...], wp_im[...], wq_re[...],
-                      wq_im[...], t2_re[...], t2_im[...])
+                      wq_im[...], t2t_re[...], t2t_im[...])
         f_re[...] = hr
         f_im[...] = hi
 
     def inv_kernel(fx_re, fx_im, fy_re, fy_im, t_re, t_im, wp_re, wp_im,
-                   wq_re, wq_im, t2_re, t2_im, c_re, c_im):
+                   wq_re, wq_im, t2_re, t2_im, t2t_re, t2t_im,
+                   c_re, c_im):
         sr, si = _cmul(fx_re[...], fx_im[...], fy_re[...], -fy_im[...])
         hr, hi = _idft(sr, si, wp_re[...], wp_im[...], wq_re[...],
                        wq_im[...], t2_re[...], t2_im[...])
@@ -257,16 +261,19 @@ def plan_fused_corr(N1: int, N2: int, N: int,
     _dft, _idft, _call = _geometry(N1, N2, N, precision)
 
     def corr_kernel(axr, axi, ayr, ayi, t_re, t_im, wp_re, wp_im,
-                    wq_re, wq_im, t2_re, t2_im, c_re, c_im):
+                    wq_re, wq_im, t2_re, t2_im, t2t_re, t2t_im,
+                    c_re, c_im):
         tr, ti = t_re[...], t_im[...]
-        w = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
-             t2_re[...], t2_im[...])
+        wf = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
+              t2t_re[...], t2t_im[...])
+        wi = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
+              t2_re[...], t2_im[...])
         ar, ai = _cmul(axr[...], axi[...], tr, ti)
-        fxr, fxi = _dft(ar, ai, *w)
+        fxr, fxi = _dft(ar, ai, *wf)
         br, bi = _cmul(ayr[...], ayi[...], tr, ti)
-        fyr, fyi = _dft(br, bi, *w)
+        fyr, fyi = _dft(br, bi, *wf)
         sr, si = _cmul(fxr, fxi, fyr, -fyi)
-        hr, hi = _idft(sr, si, *w)
+        hr, hi = _idft(sr, si, *wi)
         cr, ci = _cmul(hr, hi, tr, -ti)
         c_re[...] = cr
         c_im[...] = ci
