@@ -268,6 +268,13 @@ class TestFourStep:
                                       precision="highest")
             got = np.asarray(fn(x, y))
             np.testing.assert_allclose(got, want, atol=5e-7)
+            # n1=32: HALF=24 < N1 -> the Hermitian half-row fold
+            # (C(N1-k1) = conj(C(k1)) + real-ifft weights) is exercised
+            fn = fft4.plan_correlate4(n, imin, imax, n1=32,
+                                      stageb="pallas",
+                                      precision="highest")
+            got = np.asarray(fn(x, y))
+            np.testing.assert_allclose(got, want, atol=5e-7)
         finally:
             pl.pallas_call = orig
             pallas_fft.plan_fused_stageb.cache_clear()

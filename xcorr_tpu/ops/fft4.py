@@ -350,14 +350,39 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
     Pallas launch (:func:`ops.pallas_fft.plan_fused_corr`): everything is
     real-valued at the XLA level (x is real and only Re(output) is
     needed), so stage-A costs 2 real MXU matmuls per signal and the
-    pruned inverse costs 2; the intermediate spectra never reach HBM."""
-    from .pallas_fft import plan_fused_corr
+    pruned inverse costs 2; the intermediate spectra never reach HBM.
+
+    **Hermitian half-row pruning**: x and y are real, so the slow-axis
+    spectrum rows pair as ``S(N1-k1, k2) = conj(S(k1, (-k2-1) % N2))``
+    and — after the row-local inverse transform and conjugate twiddle —
+    the time-domain rows pair as simply ``C(N1-k1) = conj(C(k1))``.
+    Stage-A, the fused kernel, and all its DFT matmuls therefore run on
+    only the first ``ceil((N1/2+1)/8)*8`` k1 rows; the mirror rows fold
+    into the pruned inverse constants as the classic real-ifft weights
+    ``Re(sum_k w(k) W1inv[r,k] C(k))`` with w = 2 except w(0) =
+    w(N1/2) = 1. Exact (no approximation); halves compute and HBM
+    traffic of every stage up to the inverse einsum."""
+    from .pallas_fft import ROWS, plan_fused_corr
 
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
-    W1_re, W1_im = p["W1"].real.copy(), p["W1"].imag.copy()
-    Wi_re, Wi_im = p["W1inv"].real.copy(), p["W1inv"].imag.copy()
+    if N1 % 2 == 0:
+        half = ((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS
+    else:  # odd N1: no self-paired Nyquist row; keep it simple, run full
+        half = N1
+    W1_re = p["W1"].real[:half].copy()
+    W1_im = p["W1"].imag[:half].copy()
+    # real-ifft fold weights over the retained k1 columns
+    if half == N1:  # full fallback: every row contributes once
+        w = np.ones(half)
+    else:
+        w = np.zeros(half)
+        w[: N1 // 2 + 1] = 2.0
+        w[0] = 1.0
+        w[N1 // 2] = 1.0
+    Wi = p["W1inv"][:, :half] * w[None, :]
+    Wi_re, Wi_im = Wi.real.copy(), Wi.imag.copy()
     segs_flat = p["segs_flat"]
-    corr2 = plan_fused_corr(N1, N2, N, precision)
+    corr2 = plan_fused_corr(half, N2, N, precision)
     prec = _precision(precision)
 
     def stage_a(v, w1r, w1i):
@@ -366,7 +391,7 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         ah_re = _einsum("kr,brj->bkj", w1r, A, prec)
         ah_im = _einsum("kr,brj->bkj", w1i, A, prec)
         B = v.shape[0]
-        return ah_re.reshape(B * N1, N2), ah_im.reshape(B * N1, N2)
+        return ah_re.reshape(B * half, N2), ah_im.reshape(B * half, N2)
 
     @jax.jit
     def corr(x, y):
@@ -378,9 +403,9 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         axr, axi = stage_a(x, w1r, w1i)
         ayr, ayi = stage_a(y, w1r, w1i)
         cr, ci = corr2(axr, axi, ayr, ayi)
-        cr = cr.reshape(B, N1, N2)
-        ci = ci.reshape(B, N1, N2)
-        # Re(W1inv @ C): two real matmuls
+        cr = cr.reshape(B, half, N2)
+        ci = ci.reshape(B, half, N2)
+        # Re(sum_k w(k) W1inv[:, k] C(k)): two real matmuls
         out = (_einsum("rk,bkj->brj", wir, cr, prec)
                - _einsum("rk,bkj->brj", wii, ci, prec))
         r = _take_lag_window(out.reshape(B, -1), segs_flat)
@@ -418,10 +443,14 @@ def traffic_model(n: int, index_min: int = None, index_max: int = None,
     index_max = nn if index_max is None else index_max
     if n1 is None:
         n1 = 768
+    from .pallas_fft import ROWS
     p = _plan(n, index_min, index_max, n1)
     N1, N2, rows_in = p["N1"], p["N2"], p["rows_in"]
+    # Hermitian half-row pruning (see _build_pallas_corr)
+    half = ((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS if N1 % 2 == 0 \
+        else N1
     f = 4  # float32
-    plane = N1 * N2 * f
+    plane = half * N2 * f
     stage_a = 2 * (rows_in * N2 * f + 2 * plane)   # read A, write re+im
     kernel = 4 * plane + 2 * plane                 # read 4, write 2
     rows_out = len(p["out_rows"])
