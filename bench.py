@@ -101,9 +101,12 @@ def main():
         imin, imax = n - 1, n - 1 + 162_000
         days_per_batch = n / 4_320_000  # fraction of a pair-day per batch
     else:
-        n, B = 4_320_000, 16        # 24 h @ 50 Hz; 16 windows = 2 pair-days
+        # 24 h @ 50 Hz; 64 windows = 8 pair-days. B sweep on v5e-1:
+        # 8 -> 1.58 ms/window, 16 -> 1.37, 32 -> 1.22, 64 -> 1.14
+        # (~10 GB peak HBM of 16 GB)
+        n, B = 4_320_000, 64
         imin, imax = n - 1, n - 1 + 1_620_000
-        days_per_batch = 2.0
+        days_per_batch = 8.0
 
     dt = measure_device(n, B, imin, imax,
                         iters=10 if not small else 5)
