@@ -110,10 +110,25 @@ def _cdot(ar, ai, br, bi, dn, prec):
             t2 = _dot3(ai, bi, dn)
             t3 = _dot3(ar + ai, br + bi, dn)
             return t1 - t2, t3 - t1 - t2
-        rr = _dot3(ar, br, dn)
-        ii = _dot3(ai, bi, dn)
-        ri = _dot3(ar, bi, dn)
-        ir = _dot3(ai, br, dn)
+        # shared-split 12-pass: split each operand ONCE and reuse across
+        # the four real products — fewer VPU passes than Karatsuba (the
+        # extra MXU passes are ~free; the kernel is VPU-bound at 'high')
+        arh, arl = _split_bf16(ar)
+        aih, ail = _split_bf16(ai)
+        brh, brl = _split_bf16(br)
+        bih, bil = _split_bf16(bi)
+
+        def d3(xh, xl, yh, yl):
+            r = jax.lax.dot_general(xh, yh, dn, preferred_element_type=f32)
+            r = r + jax.lax.dot_general(xh, yl, dn,
+                                        preferred_element_type=f32)
+            return r + jax.lax.dot_general(xl, yh, dn,
+                                           preferred_element_type=f32)
+
+        rr = d3(arh, arl, brh, brl)
+        ii = d3(aih, ail, bih, bil)
+        ri = d3(arh, arl, bih, bil)
+        ir = d3(aih, ail, brh, brl)
     else:
         rr = jax.lax.dot_general(ar, br, dn, preferred_element_type=f32,
                                  precision=prec)
