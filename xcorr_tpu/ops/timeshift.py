@@ -9,6 +9,7 @@ Shift signals by (possibly per-row) sub-sample delays via
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fft import next_fast_len
@@ -27,7 +28,11 @@ def timeshift(x, delay, delta: float, nfft: int = None):
     X = jnp.fft.rfft(x, n=nfft, axis=-1)
     f = jnp.fft.rfftfreq(nfft, d=delta).astype(x.dtype)
     delay = jnp.asarray(delay, dtype=x.dtype)[..., None]
-    phase = jnp.exp(-2j * jnp.pi * f * delay.astype(jnp.result_type(
-        x.dtype, jnp.float32)))
+    # phase ramp via lax.complex — a complex literal (-2j...) would
+    # embed a complex constant, which the axon PJRT tunnel cannot
+    # transfer to the device
+    theta = (-2.0 * jnp.pi) * f * delay.astype(jnp.result_type(
+        x.dtype, jnp.float32))
+    phase = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
     y = jnp.fft.irfft(X * phase, n=nfft, axis=-1)
     return y[..., :n].astype(x.dtype)

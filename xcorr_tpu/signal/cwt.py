@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ndlabel import DataArray
+from ..util.convert import to_numpy
 from ..util.history import historicize
 from ._helpers import core_dim_last, get_dim
 
@@ -78,7 +79,7 @@ def cwt(x, wavelet: str = "cmor1.5-1.0", scales=None, freqs=None,
     # (..., nscales, n)
 
     out_dims = tuple(d for d in dims if d != dim) + ("freq", dim)
-    y = DataArray(np.asarray(out).astype(dtype or np.complex128),
+    y = DataArray(to_numpy(out).astype(dtype or np.complex128),
                   dims=out_dims, name=x.name, attrs=dict(x.attrs))
     y._coords = {k: c for k, c in x.coords.items()
                  if all(d in out_dims for d in c.dims)}

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ndlabel import DataArray
+from ..util.convert import to_device, to_numpy
 from ..util.history import historicize
 from ._helpers import core_dim_last, get_dim
 
@@ -88,9 +89,10 @@ def fft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
     freq = np.fft.fftshift(np.fft.fftfreq(coord.size, d=delta))
 
     data, dims = core_dim_last(x, dim)
-    F = jnp.fft.fftshift(jnp.fft.fft(data.astype(dtype), axis=-1), axes=-1)
+    F = jnp.fft.fftshift(jnp.fft.fft(to_device(data.astype(dtype)),
+                                     axis=-1), axes=-1)
     out = _attach_new_coord(
-        np.asarray(F).astype(dtype), x, dims, dim, new_dim, freq,
+        to_numpy(F).astype(dtype), x, dims, dim, new_dim, freq,
         {"long_name": "Frequency", "standard_name": "frequency",
          "units": "s-1"}, new_dim_attrs)
     if dims != tuple(new_dim if d == dim else d for d in x.dims):
@@ -119,10 +121,10 @@ def ifft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
         time = time + x.coords[dim].attrs[_recip_zero]
 
     data, dims = core_dim_last(x, dim)
-    F = jnp.fft.ifft(jnp.fft.ifftshift(data.astype(dtype), axes=-1),
-                     axis=-1)
+    F = jnp.fft.ifft(jnp.fft.ifftshift(to_device(data.astype(dtype)),
+                                       axes=-1), axis=-1)
     out = _attach_new_coord(
-        np.asarray(F).astype(dtype), x, dims, dim, new_dim, time,
+        to_numpy(F).astype(dtype), x, dims, dim, new_dim, time,
         {"long_name": "Time", "standard_name": "time", "units": "s"},
         new_dim_attrs)
     historicize(out, f="ifft", a={"x": x.name, "dim": dim,
@@ -150,9 +152,9 @@ def rfft(x, dim: str = None, new_dim: str = None, new_dim_attrs: dict = None,
     f = np.linspace(0.0, fN, n // 2 + 1)
 
     data, dims = core_dim_last(x, dim)
-    F = jnp.fft.rfft(data.astype(dtype), n=n, axis=-1)
+    F = jnp.fft.rfft(jnp.asarray(data.astype(dtype)), n=n, axis=-1)
     out = _attach_new_coord(
-        np.asarray(F).astype(cdtype), x, dims, dim, new_dim, f,
+        to_numpy(F).astype(cdtype), x, dims, dim, new_dim, f,
         {"long_name": "Frequency", "standard_name": "frequency",
          "units": "s-1"}, new_dim_attrs)
     historicize(out, f="rfft", a={"x": x.name, "dim": dim,
@@ -180,7 +182,7 @@ def irfft(x, dim: str = None, new_dim: str = None,
         time = time + x.coords[dim].attrs[_recip_zero]
 
     data, dims = core_dim_last(x, dim)
-    y = jnp.fft.irfft(data.astype(cdtype), axis=-1)
+    y = jnp.fft.irfft(to_device(data.astype(cdtype)), axis=-1)
     out = _attach_new_coord(
         np.asarray(y).astype(dtype), x, dims, dim, new_dim, time,
         {"long_name": "Time", "standard_name": "time", "units": "s"},

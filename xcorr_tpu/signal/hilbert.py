@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..util.convert import to_numpy
 from ..util.history import historicize
 from ._helpers import core_dim_last, get_dim, wrap_like
 
@@ -35,7 +36,7 @@ def hilbert(x, dim: str = None, **kwargs):
     dim = get_dim(x, dim)
     data, dims = core_dim_last(x, dim)
     out = _analytic(data)
-    y = wrap_like(np.asarray(out), x, dims)
+    y = wrap_like(to_numpy(out), x, dims)
     historicize(y, f="hilbert", a={"x": x.name, "dim": dim})
     return y
 

@@ -157,10 +157,17 @@ def _stage_remove_response(params, npts, fs, response=None):
     inv_r = _invert_spectrum_water_level(r, water_level)
     if pre_filt is not None:
         inv_r = inv_r * _cosine_sac_taper(freqs, pre_filt)
-    def fn(x, inv_r64=inv_r):
-        cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+    # ship the inverse response as real/imag planes (the axon PJRT
+    # tunnel cannot transfer complex constants) and rebuild on device
+    inv_re = np.ascontiguousarray(inv_r.real)
+    inv_im = np.ascontiguousarray(inv_r.imag)
+
+    def fn(x):
+        rdt = x.dtype
+        inv = jax.lax.complex(jnp.asarray(inv_re, rdt),
+                              jnp.asarray(inv_im, rdt))
         X = jnp.fft.rfft(x, n=nfft, axis=-1)
-        return jnp.fft.irfft(X * jnp.asarray(inv_r64, cdtype), n=nfft,
+        return jnp.fft.irfft(X * inv, n=nfft,
                              axis=-1)[..., :npts].astype(x.dtype)
     return _Stage(fn, npts, fs)
 

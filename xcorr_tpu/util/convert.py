@@ -13,7 +13,40 @@ import numpy as np
 
 from .time import to_datetime
 
-__all__ = ["to_trace", "to_stream"]
+__all__ = ["to_trace", "to_stream", "to_device", "to_numpy"]
+
+
+def to_device(a):
+    """Device-put that splits complex arrays into re/im float transfers
+    (the axon PJRT tunnel cannot move complex in either direction) and
+    recombines with :func:`jax.lax.complex` on device."""
+    import jax
+    import jax.numpy as jnp
+    a = np.asarray(a)
+    if np.iscomplexobj(a):
+        rdt = np.float32 if a.dtype == np.complex64 else np.float64
+        return jax.lax.complex(
+            jnp.asarray(np.ascontiguousarray(a.real).astype(rdt,
+                                                            copy=False)),
+            jnp.asarray(np.ascontiguousarray(a.imag).astype(rdt,
+                                                            copy=False)))
+    return jnp.asarray(a)
+
+
+def to_numpy(a):
+    """Host-fetch that splits complex device arrays into two real
+    transfers (see :func:`to_device`)."""
+    import jax.numpy as jnp
+    if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                              jnp.complexfloating):
+        re = np.asarray(jnp.real(a))
+        im = np.asarray(jnp.imag(a))
+        out = np.empty(re.shape,
+                       dtype=np.result_type(re.dtype, np.complex64))
+        out.real = re
+        out.imag = im
+        return out
+    return np.asarray(a)
 
 
 def to_trace(x, dim: str = None, starttime=None, name: str = None):
