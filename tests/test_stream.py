@@ -56,6 +56,85 @@ class TestSyntheticClient:
         assert (st.values == 1).all()
 
 
+class TestMaxGapGating:
+    """max_gap duration gate + 4-state availability flags
+    (reference ``xcorr/stream/client.py:270-423,794-835``)."""
+
+    @staticmethod
+    def _day_trace(fs=5.0, missing_seconds=0.0):
+        n = int((86400 - missing_seconds) * fs)
+        return Trace(np.zeros(n), Stats(network="IM", station="H03S1",
+                                        location="", channel="EDH",
+                                        starttime="2014-01-01",
+                                        sampling_rate=fs))
+
+    def test_check_duration(self):
+        client = SyntheticClient(sampling_rate=5.0, max_gap=300.0)
+        assert client.check_duration(Stream([self._day_trace()]))
+        assert client.check_duration(
+            Stream([self._day_trace(missing_seconds=100.0)]))
+        assert not client.check_duration(
+            Stream([self._day_trace(missing_seconds=400.0)]))
+        assert not client.check_duration(Stream())
+
+    def test_partial_remote_day_rejected(self, tmp_path):
+        """A downloaded day with more than max_gap seconds missing is
+        neither archived nor returned — unless force_write."""
+        short = self._day_trace(missing_seconds=900.0)
+
+        class PartialRemote(Client):
+            def _remote_fetch(self, receiver, date, verb=0):
+                return Stream([short.copy()])
+
+        client = PartialRemote(sds_root=str(tmp_path / "sds"),
+                               max_gap=300.0)
+        st = client._get_waveforms_for_date("IM.H03S1..EDH",
+                                            pd.Timestamp("2014-01-01"))
+        assert len(st) == 0
+        assert len(client.write_archive.read(
+            "IM.H03S1..EDH", pd.Timestamp("2014-01-01"))) == 0
+
+        # force_write archives the gappy day (it fails the gate, so the
+        # CURRENT call still returns empty — reference semantics,
+        # xcorr/stream/client.py:316-321); the next call reads it from
+        # the archive tier
+        forced = PartialRemote(sds_root=str(tmp_path / "sds2"),
+                               max_gap=300.0, force_write=True)
+        st = forced._get_waveforms_for_date("IM.H03S1..EDH",
+                                            pd.Timestamp("2014-01-01"))
+        assert len(st) == 0
+        assert len(forced.write_archive.read(
+            "IM.H03S1..EDH", pd.Timestamp("2014-01-01"))) == 1
+        st = forced._get_waveforms_for_date("IM.H03S1..EDH",
+                                            pd.Timestamp("2014-01-01"))
+        assert len(st) == 1
+
+    def test_probe_flags(self):
+        """_test_waveforms_for_date: 1 full, -1 missing/partial, -2 on
+        error; availability scan metadata carries all four states."""
+        client = SyntheticClient(sampling_rate=5.0,
+                                 missing={"IU.RAR.10.BHZ"})
+        assert client._test_waveforms_for_date(
+            "IM.H03S1..EDH", pd.Timestamp("2014-01-01")) == 1
+        assert client._test_waveforms_for_date(
+            "IU.RAR.10.BHZ", pd.Timestamp("2014-01-01")) == -1
+
+        class Exploding(SyntheticClient):
+            def _get_waveforms_for_date(self, *a, **k):
+                raise RuntimeError("boom")
+
+        assert Exploding(sampling_rate=5.0)._test_waveforms_for_date(
+            "IM.H03S1..EDH", pd.Timestamp("2014-01-01")) == -2
+
+        av = client.verify_waveform_availability(
+            ["IM.H03S1..EDH-IU.RAR.10.BHZ"],
+            pd.date_range("2014-01-01", periods=1, freq="1D"),
+            substitute=False)
+        assert list(av.attrs["flag_values"]) == [-2, -1, 0, 1]
+        assert av.sel(receiver="IM.H03S1..EDH").values[0] == 1
+        assert av.sel(receiver="IU.RAR.10.BHZ").values[0] == -1
+
+
 class TestDuration:
     def test_accounting(self):
         fs = 10.0
@@ -117,22 +196,95 @@ class TestFdsn:
             None  # returns empty Stream, never raises
 
 
+def _full_day_trace(day, fs=5.0):
+    return Trace(np.ones(int(86400 * fs)),
+                 Stats(network="IM", station="H03S1", location="",
+                       channel="EDH", starttime=day, sampling_rate=fs))
+
+
+class FakeVdmsTransport:
+    """Message-queue fake: serves a canned result after a fixed number
+    of status polls."""
+
+    def __init__(self, result, polls=2, final="COMPLETED"):
+        self.result = result
+        self.polls = polls
+        self.final = final
+        self.messages = []
+        self._seen = {}
+
+    def submit(self, message):
+        self.messages.append(message)
+        rid = f"req-{len(self.messages)}"
+        self._seen[rid] = 0
+        return rid
+
+    def status(self, rid):
+        self._seen[rid] += 1
+        if self._seen[rid] <= self.polls:
+            return "QUEUED" if self._seen[rid] == 1 else "RUNNING"
+        return self.final
+
+    def fetch(self, rid):
+        return self.result
+
+
 class TestVdms:
     def test_waterfall_uses_vdms_hook(self, tmp_path):
         calls = []
 
         def request(receiver, day):
             calls.append((receiver, str(day)))
-            tr = Trace(np.ones(100),
-                       Stats(network="IM", station="H03S1", location="",
-                             channel="EDH", starttime=day,
-                             sampling_rate=5.0))
-            return Stream([tr])
+            return Stream([_full_day_trace(day)])
 
         client = Client(sds_root=str(tmp_path), vdms_request=request)
         st = client._get_waveforms_for_date("IM.H03S1..EDH", "2014-01-01")
         assert len(st) == 1
         assert calls  # VDMS tier was consulted (SDS empty, no FDSN)
+
+    def test_transport_request_cycle(self, tmp_path):
+        """Full IMS2.0 submit -> poll -> fetch cycle against a fake
+        transport; the day stream is archived on success."""
+        day = pd.Timestamp("2014-01-01")
+        transport = FakeVdmsTransport(Stream([_full_day_trace(day)]))
+        client = Client(sds_root=str(tmp_path), vdms_transport=transport)
+        client.vdms._poll_interval = 0.0
+
+        st = client._get_waveforms_for_date("IM.H03S1..EDH", day)
+        assert len(st) == 1
+        assert st[0].stats.npts == 432000
+        # request message carries the IMS2.0 waveform request fields
+        msg = transport.messages[0]
+        assert "BEGIN IMS2.0" in msg and "MSG_TYPE REQUEST" in msg
+        assert "STA_LIST H03S1" in msg and "CHAN_LIST EDH" in msg
+        assert "TIME 2014/01/01 00:00:00 TO 2014/01/02 00:00:00" in msg
+        assert "WAVEFORM" in msg and msg.rstrip().endswith("STOP")
+        assert client.vdms.last_request[1] == "COMPLETED"
+        # archived: the next call is served by the SDS tier (no new
+        # message submitted)
+        st = client._get_waveforms_for_date("IM.H03S1..EDH", day)
+        assert len(st) == 1 and len(transport.messages) == 1
+
+    def test_transport_failure_and_partial(self, tmp_path):
+        day = pd.Timestamp("2014-01-01")
+        # terminal failure -> empty stream
+        bad = FakeVdmsTransport(None, polls=1, final="ERROR")
+        client = Client(sds_root=str(tmp_path / "a"), vdms_transport=bad)
+        client.vdms._poll_interval = 0.0
+        st = client._get_waveforms_for_date("IM.H03S1..EDH", day)
+        assert len(st) == 0
+        assert client.vdms.last_request[1] == "ERROR"
+        # a gappy VDMS day is rejected by the max_gap gate like any
+        # downloaded tier
+        short = Trace(np.ones(100), Stats(network="IM", station="H03S1",
+                                          location="", channel="EDH",
+                                          starttime=day, sampling_rate=5.0))
+        partial = FakeVdmsTransport(Stream([short]))
+        client = Client(sds_root=str(tmp_path / "b"),
+                        vdms_transport=partial)
+        client.vdms._poll_interval = 0.0
+        st = client._get_waveforms_for_date("IM.H03S1..EDH", day)
+        assert len(st) == 0
 
 
 class TestProcessDSL:

@@ -38,8 +38,10 @@ class Client:
 
     def __init__(self, sds_root: str = None, sds_root_write: str = None,
                  sds_root_read=None, fdsn_base_url: str = None,
-                 vdms_request=None, parallel: bool = False,
-                 max_gap: float = 300.0, verb: int = 0, **kwargs):
+                 vdms_request=None, vdms_transport=None,
+                 parallel: bool = False,
+                 max_gap: float = 300.0, force_write: bool = False,
+                 verb: int = 0, **kwargs):
         if not (sds_root or sds_root_read or sds_root_write):
             if not isinstance(self, SyntheticClient):
                 raise AttributeError(
@@ -59,10 +61,55 @@ class Client:
                               if self.sds_root_write else None)
         self.fdsn_base_url = fdsn_base_url
         from .vdms import VDMSClient
-        self.vdms = VDMSClient(vdms_request)
+        self.vdms = VDMSClient(vdms_request, transport=vdms_transport)
         self.parallel = parallel
         self.max_gap = max_gap
+        self.force_write = force_write
         self.verb = verb
+
+    # -- day-stream quality gating ---------------------------------------------
+
+    def check_duration(self, stream, duration: float = None,
+                       receiver: str = None, verb: int = 0) -> bool:
+        """Whether ``stream`` covers at least ``duration`` − ``max_gap``
+        seconds of data (``xcorr/stream/client.py:369-423``)."""
+        from .duration import duration as stream_duration
+        if stream is None or not len(stream):
+            return False
+        duration = duration or 86400.0
+        d = stream_duration(stream, receiver)
+        if len(d) == 0:
+            return False
+        time = float(d["time"].iloc[0])
+        passed = time >= duration - self.max_gap
+        if verb > 2:
+            print(f"Time: {time}s, max gap: {self.max_gap}s, "
+                  f"passed: {passed}")
+        return passed
+
+    def _sds_write_daystream(self, stream, force_write: bool = None,
+                             verb: int = 0) -> bool:
+        """Archive a downloaded day stream after the ``max_gap`` duration
+        gate (``xcorr/stream/client.py:270-367``): streams with more than
+        ``max_gap`` cumulative seconds missing are rejected (not archived,
+        not returned to the caller) unless ``force_write``."""
+        force_write = self.force_write if force_write is None \
+            else force_write
+        passed = self.check_duration(stream, verb=verb)
+        if not passed and not force_write:
+            return False
+        success = True
+        if self.write_archive is not None:
+            try:
+                self.write_archive.write(stream, verb=verb)
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as error:
+                success = False
+                if verb > 0:
+                    print(f"Intercepted error @ sds write daystream: "
+                          f"{error}")
+        return passed and success
 
     # -- raw waveform access -------------------------------------------------
 
@@ -94,16 +141,38 @@ class Client:
             if len(st):
                 return st
         if download:
-            # waterfall tier 2: FDSN web service
+            # waterfall tier 2: FDSN web service. A fetched day failing
+            # the max_gap duration gate is dropped (falls through to the
+            # next tier), matching xcorr/stream/client.py:736-741.
             st = self._remote_fetch(receiver, date, verb=verb)
-            # waterfall tier 3: VDMS (CTBTO IMS), when configured
-            if (not st or not len(st)) and self.vdms.available():
-                st = self.vdms.get_waveforms(receiver, date, verb=verb)
-            if st and len(st):
-                if self.write_archive:
-                    self.write_archive.write(st, verb=verb)
+            if st and len(st) and self._sds_write_daystream(st, verb=verb):
                 return st
+            # waterfall tier 3: VDMS (CTBTO IMS), when configured
+            if self.vdms.available():
+                st = self.vdms.get_waveforms(receiver, date, verb=verb)
+                if st and len(st) and \
+                        self._sds_write_daystream(st, verb=verb):
+                    return st
         return Stream()
+
+    def _test_waveforms_for_date(self, receiver: str, date,
+                                 download: bool = False,
+                                 verb: int = 0) -> int:
+        """Availability probe for one (receiver, day): 1 = full day
+        available (within ``max_gap``), -1 = missing/partial, -2 = the
+        fetch itself errored (``xcorr/stream/client.py:794-835``)."""
+        try:
+            st = self._get_waveforms_for_date(receiver, date,
+                                              download=download, verb=verb)
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as error:
+            if verb > 0:
+                print(f"Intercepted error @ get_waveforms_for_date: "
+                      f"{error}")
+            return -2
+        return 1 if self.check_duration(st, duration=86400.0,
+                                        verb=verb) else -1
 
     def _remote_fetch(self, receiver: str, date, verb: int = 0):
         """Remote day fetch hook (FDSN dataselect). Gated: returns an
@@ -245,8 +314,12 @@ class Client:
                                      parallel: bool = None,
                                      download: bool = False, verb: int = 0,
                                      **kwargs):
-        """(receiver, time) int8 status DataArray: 1 available, -1 missing
-        (``xcorr/stream/client.py:1151-1326``)."""
+        """(receiver, time) int8 status DataArray with the reference's
+        4-state flags (``xcorr/stream/client.py:804-806,1151-1326``):
+        1 = a full day present (within ``max_gap`` cumulative seconds
+        missing), -1 = missing or partial, -2 = the probe errored,
+        0 = not validated (never emitted by this eager scan; kept in the
+        flag table for schema parity with incremental scans)."""
         rlist = []
         for r in receivers:
             # pair strings split on '-'; ``substitute`` additionally
@@ -259,9 +332,8 @@ class Client:
 
         def check(args):
             receiver, t = args
-            st = self._get_waveforms_for_date(receiver, t,
-                                              download=download, verb=0)
-            return 1 if len(st) else -1
+            return self._test_waveforms_for_date(receiver, t,
+                                                 download=download, verb=0)
 
         items = [(r, t) for r in rlist for t in times]
         parallel = self.parallel if parallel is None else parallel
@@ -277,8 +349,11 @@ class Client:
                                 "time": times.values},
                         name="status",
                         attrs={"long_name": "Waveform availability status",
-                               "flag_values": np.int8([-1, 1]),
-                               "flag_meanings": "missing available"})
+                               "valid_range": np.int8([-2, 1]),
+                               "flag_values": np.int8([-2, -1, 0, 1]),
+                               "flag_meanings":
+                                   "failed missing not_validated "
+                                   "available"})
         if verb > 0:
             avail = (status == 1).mean() * 100
             print(f"Availability: {avail:.1f}%")
