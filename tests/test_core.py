@@ -254,6 +254,55 @@ class TestDeviceEngine:
                                    ds_host["cc"].values,
                                    atol=5e-6)
 
+    def test_device_process_multi_pair(self):
+        """Multi-pair datasets: pairs with a common chain/geometry batch
+        into one device launch; results match the host path per pair."""
+        from xcorr_tpu import ndlabel
+        from xcorr_tpu.parallel import device_process
+
+        delays = {"IM.H03S1..EDH": 0.0, "IM.H03S2..EDH": 4.0,
+                  "IM.H03S3..EDH": 9.0}
+
+        def client():
+            return SyntheticClient(sampling_rate=FS, delays=delays,
+                                   source_period=600.0,
+                                   source_amplitude=20.0)
+
+        inv = Inventory([
+            Channel("IM", "H03S1", "", "EDH",
+                    latitude=-33.6, longitude=-78.8),
+            Channel("IM", "H03S2", "", "EDH",
+                    latitude=-33.7, longitude=-78.9),
+            Channel("IM", "H03S3", "", "EDH",
+                    latitude=-33.8, longitude=-79.0),
+        ])
+        pairs = ["IM.H03S1..EDH-IM.H03S2..EDH",
+                 "IM.H03S1..EDH-IM.H03S3..EDH"]
+
+        def make(pair):
+            return init_ds(pair=pair, inventory=inv,
+                           endtime=pd.Timestamp("2014-01-01T03:00"))
+
+        ds_host = ndlabel.concat([make(p) for p in pairs], "pair")
+        ds_dev = ndlabel.concat([make(p) for p in pairs], "pair")
+        assert ds_dev["status"].shape[0] == 2
+
+        xcorr_tpu.process(ds_host, client=client(), verb=0)
+        device_process(ds_dev, client=client(), verb=0)
+
+        assert (ds_dev["status"].values == 1).all()
+        np.testing.assert_array_equal(ds_dev["pair_offset"].values,
+                                      ds_host["pair_offset"].values)
+        np.testing.assert_array_equal(ds_dev["time_offset"].values,
+                                      ds_host["time_offset"].values)
+        np.testing.assert_allclose(ds_dev["cc"].values,
+                                   ds_host["cc"].values, atol=5e-6)
+        # injected delays recovered per pair
+        lagv = ds_dev.coords["lag"].values
+        for ipair, delay in [(0, -4.0), (1, -9.0)]:
+            peak = lagv[int(np.argmax(ds_dev["cc"].values[ipair, 0]))]
+            assert abs(peak - delay) < 1.0
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

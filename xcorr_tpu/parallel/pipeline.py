@@ -28,7 +28,7 @@ import numpy as np
 from .. import ops
 from ..stream.compile import compile_operations
 
-__all__ = ["FusedPipeline", "SpanPipeline"]
+__all__ = ["FusedPipeline", "SpanPipeline", "MultiSpanPipeline"]
 
 
 class FusedPipeline:
@@ -152,6 +152,77 @@ class SpanPipeline:
 
     def __call__(self, raw_a, raw_b):
         """raw spans (span_a,), (span_b,) float32 -> (nwin, nlag)."""
+        raw_a = jnp.asarray(raw_a)
+        raw_b = jnp.asarray(raw_b)
+        if not self._warm:
+            with self._compile_lock:
+                out = np.asarray(self._step(raw_a, raw_b))
+                self._warm = True
+                return out
+        return np.asarray(self._step(raw_a, raw_b))
+
+
+class MultiSpanPipeline:
+    """A :class:`SpanPipeline` over SEVERAL pairs' raw spans at once.
+
+    All pairs in the batch must share the preprocess chains, sampling
+    rates, span lengths and responses (enforced by the caller's grouping
+    key); their windows then stack into ONE device batch — B=64 measured
+    1.14 ms/window on v5e-1 vs 1.58 at B=8, so launching 8 pairs x 8
+    windows together is a ~1.4x end-to-end win over per-pair launches.
+
+    ``offsets_a`` / ``offsets_b`` are sequences of ``(src, sample_off)``:
+    window ``k`` slices ``npts_raw`` samples starting at ``sample_off``
+    from span row ``src`` of the stacked ``(nsrc, span)`` input.
+    """
+
+    def __init__(self, ops_a, ops_b, span_a, fs_a, span_b, fs_b,
+                 offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
+                 index_min=None, index_max=None, normalize=True,
+                 response_a=None, response_b=None, trim_offset=0,
+                 mesh=None):
+        chain_a, n_a, fs_out_a = compile_operations(
+            ops_a, npts_raw_a, fs_a, response=response_a, jit=False,
+            trim_to=npts, trim_offset=trim_offset)
+        chain_b, n_b, fs_out_b = compile_operations(
+            ops_b, npts_raw_b, fs_b, response=response_b, jit=False,
+            trim_to=npts, trim_offset=trim_offset)
+        if abs(fs_out_a - fs_out_b) > 1e-9:
+            raise ValueError(
+                f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
+        self.npts = npts
+        self.sampling_rate = fs_out_a
+        offsets_a = tuple((int(s), int(o)) for s, o in offsets_a)
+        offsets_b = tuple((int(s), int(o)) for s, o in offsets_b)
+
+        shard = None
+        if mesh is not None and len(offsets_a) % mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P("batch", None))
+
+        def step(raw_a, raw_b):
+            # (nsrc, span) spans replicate; the cross-pair window stack
+            # shards over the mesh batch axis
+            xa = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                raw_a[s], o, npts_raw_a) for s, o in offsets_a])
+            yb = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                raw_b[s], o, npts_raw_b) for s, o in offsets_b])
+            if shard is not None:
+                xa = jax.lax.with_sharding_constraint(xa, shard)
+                yb = jax.lax.with_sharding_constraint(yb, shard)
+            xa = chain_a(xa)
+            yb = chain_b(yb)
+            return ops.cc.correlate(
+                xa, yb, normalize=normalize, index_min=index_min,
+                index_max=index_max)
+
+        import threading
+        self._step = jax.jit(step)
+        self._compile_lock = threading.Lock()
+        self._warm = False
+
+    def __call__(self, raw_a, raw_b):
+        """(nsrc, span_a), (nsrc, span_b) float32 -> (nwin, nlag)."""
         raw_a = jnp.asarray(raw_a)
         raw_b = jnp.asarray(raw_b)
         if not self._warm:
