@@ -119,10 +119,20 @@ def lazy_processes(pairs: list, times, availability=None, preprocessing=None,
 
 def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
                  inventory=None, root: str = None, nworkers: int = None,
-                 download: bool = True, verb: int = 1, **kwargs):
+                 download: bool = True, distributed: bool = None,
+                 verb: int = 1, **kwargs):
     """End-to-end batch driver (reference ``xcorr/core/lazy.py:197-369``):
     availability scan -> preprocess verification on one day -> gated
-    (pair, day) fan-out over a thread pool."""
+    (pair, day) fan-out over a thread pool.
+
+    Multi-host (pod-slice) runs: when JAX was brought up multi-process
+    (:func:`xcorr_tpu.parallel.distributed.initialize`, the analogue of
+    the reference's Dask scheduler-file cluster,
+    ``xcorr/scripts/utils.py:50-79``), each host takes its contiguous
+    :func:`~xcorr_tpu.parallel.distributed.host_slice` of the gated
+    (pair, day) task list and writes its own shards — the filesystem
+    stays the data plane, no cross-host coordination needed.
+    ``distributed`` forces the behavior; `None` auto-detects."""
     from ..stream.client import Client
 
     client = client_args if hasattr(client_args, "get_waveforms") else \
@@ -167,6 +177,24 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
         preprocessing=preprocessing, init_args=init_args, client=client,
         inventory=inventory, root=root, verb=verb - 1 if verb else 0,
         **kwargs)
+    if distributed is None:
+        try:
+            # read the multi-process state WITHOUT forcing backend init
+            # (jax.process_count() would); multi-host requires an
+            # explicit jax.distributed.initialize, which sets this
+            from jax._src.distributed import global_state
+            distributed = (global_state.num_processes or 1) > 1
+        except Exception:
+            distributed = False
+    if distributed:
+        from ..parallel.distributed import host_slice
+        import jax
+        ntotal = len(tasks)
+        tasks = host_slice(tasks)
+        if verb > 0:
+            print(f"Host {jax.process_index()}/{jax.process_count()}: "
+                  f"{len(tasks)} of {ntotal} pair-day tasks")
+
     if verb > 0:
         print(f"Scheduling {len(tasks)} pair-day tasks")
     nworkers = nworkers or 4
