@@ -2,9 +2,17 @@ r"""
 :mod:`core.plot` -- CCF plotting helpers
 ========================================
 
-Matplotlib convenience plots (spec: ``xcorr/core/plot.py:31-520``):
-``plot_ccf`` (CCF + spectrogram panel), ``plot_ccfs`` (stacked per-time
-traces), ``plot_ccfs_colored`` and ``plot_snr_ct``.
+Matplotlib convenience plots with visual parity to the reference
+(``xcorr/core/plot.py:31-520``): ``plot_ccf`` (CCF + spectrogram panel
+with celerity ticks), ``plot_ccfs`` (per-pair stacked axes),
+``plot_ccfs_colored`` (pair-colored overlay with SNR filtering),
+``plot_snr_ct`` (per-pair SNR lines + shaded coincidence triggers) and
+``set_year_labels`` (center-positioned year tick labels).
+
+Inputs are :mod:`xcorr_tpu.ndlabel` objects; every entry point accepts
+either the ``cc`` DataArray (reference signature) or the whole Dataset
+(``ds.xcorr.plot_ccf()`` accessor convenience — the ``distance``
+variable is then picked up automatically).
 """
 
 from __future__ import annotations
@@ -15,93 +23,346 @@ __all__ = ["plot_ccf", "plot_ccfs", "plot_ccfs_colored", "plot_snr_ct",
            "set_year_labels"]
 
 
-def plot_ccf(ds, pair=None, time=None, spectrogram_kwargs: dict = None,
-             ax=None, **kwargs):
-    """One (pair, time) CCF trace with its spectrogram panel."""
+def _cc_and_distance(obj, distance):
+    """Accept a Dataset (grab cc + distance) or a cc DataArray."""
+    if hasattr(obj, "data_vars"):
+        if distance is None and "distance" in obj.data_vars:
+            distance = obj["distance"]
+        return obj["cc"], distance
+    return obj, distance
+
+
+def _isel_pair(da, pair):
+    """Reduce a 'pair' dimension by integer index or label."""
+    if "pair" not in da.dims:
+        return da
+    if isinstance(pair, str):
+        return da.sel(pair=pair)
+    return da.isel(pair=int(pair or 0))
+
+
+def _distance_m(distance, pair=None):
+    """Pair distance in meters from the distance DataArray (km-aware)."""
+    if distance is None:
+        return None
+    factor = 1000.0 if distance.attrs.get("units") == "km" else 1.0
+    if hasattr(distance, "dims") and "pair" in distance.dims:
+        distance = _isel_pair(distance, pair)
+    return float(np.asarray(distance.values).ravel()[0]) * factor
+
+
+def _celerity_axis(ax, d, cmin, cmax, cmajor, cminor):
+    """Secondary top axis with celerity ticks at lag = distance/c
+    (reference ``xcorr/core/plot.py:186-193``)."""
+    c_major = np.arange(cmin, cmax, cmajor)
+    c_minor = np.arange(cmin, cmax, cminor)
+    ax_t = ax.secondary_xaxis("top")
+    ax_t.set_xticks(d / c_major)
+    ax_t.set_xticklabels([f"{c:g} m/s" for c in c_major], fontsize=7,
+                         fontstyle="italic")
+    ax_t.set_xticks(d / c_minor, minor=True)
+    ax_t.set_xlabel(" ")
+    return ax_t
+
+
+def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
+             cmin: float = None, cmax: float = None, cmajor: float = None,
+             cminor: float = None, lag_lim: tuple = None,
+             freq_lim: tuple = None, spectrogram_db: bool = True,
+             spectrogram_kwargs: dict = None,
+             spectrogram_plot_kwargs: dict = None,
+             cc_plot_kwargs: dict = None, envelope: bool = False,
+             figure=None, **kwargs):
+    """One pair's CCF traces with the spectrogram panel of one window.
+
+    Reference parity (``xcorr/core/plot.py:31-251``): all time windows
+    drawn as low-alpha lines, optional envelope, celerity secondary
+    axis/limits from ``distance``, pair and time annotations, dB
+    spectrogram with colorbar. Returns the figure's GridSpec.
+    """
     import matplotlib.pyplot as plt
+    from matplotlib.gridspec import GridSpec
+    from matplotlib.ticker import AutoMinorLocator, StrMethodFormatter
 
-    sel = {}
-    if pair is not None:
-        sel["pair"] = pair
-    if time is not None:
-        sel["time"] = time
-    cc = ds["cc"].sel(sel) if sel else ds["cc"].isel(pair=0, time=0)
-    while cc.ndim > 1:
-        cc = cc.isel({cc.dims[0]: 0})
+    cc, distance = _cc_and_distance(ds, distance)
+    cc = _isel_pair(cc, pair)
+    pair_label = str(np.asarray(cc.coords["pair"].values).ravel()[0]) \
+        if "pair" in cc.coords else ""
 
-    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True,
-                                   figsize=kwargs.pop("figsize", (9, 6)))
-    lag = cc.coords["lag"].values
-    ax1.plot(lag, cc.values, lw=0.5, color="k")
-    ax1.set_ylabel("CC")
-    psd = cc.signal.spectrogram(**(spectrogram_kwargs
-                                   or {"duration": 2.5,
-                                       "padding_factor": 4}))
-    vals = np.asarray(psd.values)
-    ax2.pcolormesh(lag, psd.coords["freq"].values,
-                   10 * np.log10(vals + 1e-30), shading="auto",
-                   cmap="viridis")
+    vals = np.atleast_2d(np.asarray(cc.values, dtype=np.float64))
+    cc_max = float(np.nanmax(np.abs(vals))) or 1.0
+    if normalize:
+        vals = vals / cc_max
+    cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
+                                              1.05 * cc_max)
+    cc_fmt = StrMethodFormatter("{x:.1f}" if normalize else "{x:.0e}")
+
+    cmin = cmin or 1460.0
+    cmax = cmax or 1500.0
+    d = _distance_m(distance, pair)
+    lag = np.asarray(cc.coords["lag"].values)
+    lag_lim = lag_lim or ((d / cmax, d / cmin) if d
+                          else (float(lag.min()), float(lag.max())))
+
+    fig = figure or plt.figure(constrained_layout=True,
+                               figsize=kwargs.pop("figsize", (7, 4)))
+    gs = GridSpec(2, 2, figure=fig, width_ratios=(40, 1))
+    ax1 = fig.add_subplot(gs[0, 0])
+    ax2 = fig.add_subplot(gs[1, 0], sharex=ax1)
+    ax3 = fig.add_subplot(gs[1, 1])
+
+    cc_plot_kwargs = {"color": "k", "alpha": 0.25, "lw": 0.7,
+                      **(cc_plot_kwargs or {})}
+    for row in vals:
+        ax1.plot(lag, row, **cc_plot_kwargs)
+    if envelope:
+        env = _isel_pair(ds["cc"] if hasattr(ds, "data_vars") else ds,
+                         pair).signal.envelope(dim="lag")
+        envv = np.atleast_2d(np.asarray(env.values, dtype=np.float64))
+        if normalize:
+            envv = envv / cc_max
+        for row in envv:
+            ax1.plot(lag, row, color="r", alpha=0.25, lw=0.7)
+    ax1.set_xlim(*lag_lim)
+    ax1.set_ylim(*cc_lim)
+    ax1.yaxis.set_major_formatter(cc_fmt)
+    ax1.set_ylabel("CCF [-]")
+    ax1.xaxis.set_minor_locator(AutoMinorLocator())
+    ax1.tick_params(labelbottom=False)
+    ax1.yaxis.set_ticks_position("both")
+    if d:
+        _celerity_axis(ax1, d, cmin, cmax, cmajor or 5.0, cminor or 1.0)
+    ax1.text(0.02, 0.96, pair_label, transform=ax1.transAxes,
+             ha="left", va="top")
+    if "time" in cc.coords:
+        ax1.text(0.98, 0.96,
+                 str(np.asarray(cc.coords["time"].values).ravel()[0])[:19],
+                 transform=ax1.transAxes, ha="right", va="top")
+
+    # spectrogram of one window
+    one = cc
+    if "time" in one.dims:
+        one = one.isel(time=int(time))
+    spectrogram_kwargs = {"duration": 2.5, "padding_factor": 4,
+                          **(spectrogram_kwargs or {})}
+    p = one.signal.spectrogram(**spectrogram_kwargs)
+    pv = np.asarray(p.values, dtype=np.float64)
+    if normalize and np.nanmax(pv):
+        pv = pv / np.nanmax(pv)
+    if spectrogram_db:
+        pv = 10 * np.log10(np.where(pv > 0, pv, np.nan))
+    vmax = np.nanmax(pv) if spectrogram_db else 0.8 * np.nanmax(pv)
+    vmin = vmax - 30 if spectrogram_db else 0.0
+    freq = np.asarray(p.coords["freq"].values)
+    # spectrogram dims are (freq, lag) or (lag, freq); align to (freq, lag)
+    if pv.shape[0] != freq.size:
+        pv = pv.T
+    spectrogram_plot_kwargs = {"cmap": "afmhot_r", "vmin": vmin,
+                               "vmax": vmax, "shading": "auto",
+                               **(spectrogram_plot_kwargs or {})}
+    mesh = ax2.pcolormesh(np.asarray(p.coords["lag"].values), freq, pv,
+                          **spectrogram_plot_kwargs)
+    ax2.set_xlim(*lag_lim)
+    if freq_lim:
+        ax2.set_ylim(*freq_lim)
     ax2.set_xlabel("Lag [s]")
     ax2.set_ylabel("Frequency [Hz]")
-    return fig
+    ax2.xaxis.set_minor_locator(AutoMinorLocator())
+    ax2.yaxis.set_minor_locator(AutoMinorLocator())
+    ax2.xaxis.set_ticks_position("both")
+    ax2.yaxis.set_ticks_position("both")
+
+    cb = plt.colorbar(mesh, cax=ax3, use_gridspec=True,
+                      extend="both" if spectrogram_db else "max")
+    cb.set_label("PSD [dB]" if spectrogram_db else "PSD [-]")
+    return gs
 
 
-def plot_ccfs(ds, pair=None, alpha: float = 0.6, ax=None, **kwargs):
-    """All time windows of one pair, overlain."""
+def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
+              cmin: float = None, cmax: float = None, cmajor: float = None,
+              cminor: float = None, lag_lim: tuple = None,
+              cc_plot_kwargs: dict = None, figure=None, **kwargs):
+    """Multi-pair CCFs in stacked per-pair axes with celerity ticks
+    (reference ``xcorr/core/plot.py:254-375``). Returns the GridSpec."""
     import matplotlib.pyplot as plt
+    from matplotlib.gridspec import GridSpec
+    from matplotlib.ticker import AutoMinorLocator, StrMethodFormatter
 
-    cc = ds["cc"].sel(pair=pair) if pair is not None \
-        else ds["cc"].isel(pair=0)
-    if ax is None:
-        _, ax = plt.subplots(figsize=kwargs.pop("figsize", (9, 4)))
-    lag = cc.coords["lag"].values
-    for i in range(cc.sizes["time"]):
-        ax.plot(lag, cc.values[i], lw=0.4, alpha=alpha)
-    ax.set_xlabel("Lag [s]")
-    ax.set_ylabel("CC")
-    return ax
+    cc, distance = _cc_and_distance(ds, distance)
+    all_pairs = [str(p) for p in
+                 np.asarray(cc.coords["pair"].values).ravel()] \
+        if "pair" in cc.coords else [""]
+    pairs = [str(p) for p in np.asarray(pairs).ravel()] \
+        if pairs is not None else all_pairs
+
+    cc_max = float(np.nanmax(np.abs(np.asarray(cc.values)))) or 1.0
+    cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
+                                              1.05 * cc_max)
+    cc_fmt = StrMethodFormatter("{x:.1f}" if normalize else "{x:.0e}")
+
+    cmin = cmin or 1460.0
+    cmax = cmax or 1500.0
+    lag = np.asarray(cc.coords["lag"].values)
+    if distance is not None:
+        dvals = np.asarray(distance.values, dtype=np.float64).ravel()
+        factor = 1000.0 if distance.attrs.get("units") == "km" else 1.0
+        lag_lim = lag_lim or (dvals.min() * factor / cmax,
+                              dvals.max() * factor / cmin)
+    else:
+        lag_lim = lag_lim or (float(lag.min()), float(lag.max()))
+
+    fig = figure or plt.figure(constrained_layout=True,
+                               figsize=kwargs.pop("figsize",
+                                                  (7, len(pairs) + 1)))
+    gs = GridSpec(len(pairs), 1, figure=fig)
+    cc_plot_kwargs = {"color": "k", "alpha": 0.25, "lw": 0.7,
+                      **(cc_plot_kwargs or {})}
+
+    axes = []
+    for i, pair in enumerate(pairs):
+        ax = fig.add_subplot(gs[i, 0]) if i == 0 else \
+            fig.add_subplot(gs[i, 0], sharex=axes[0], sharey=axes[0])
+        sel = _isel_pair(cc, pair)
+        vals = np.atleast_2d(np.asarray(sel.values, dtype=np.float64))
+        if normalize:
+            vals = vals / cc_max
+        for row in vals:
+            ax.plot(lag, row, **cc_plot_kwargs)
+        ax.yaxis.set_major_formatter(cc_fmt)
+        if i != len(pairs) - 1:
+            ax.tick_params(labelbottom=False)
+        else:
+            ax.set_xlabel("Lag [s]")
+        d = _distance_m(distance, pair) if distance is not None else None
+        if d:
+            _celerity_axis(ax, d, cmin, cmax,
+                           cmajor or (cmax - cmin) / 5,
+                           cminor or (cmax - cmin) / 25)
+        ax.set_ylabel("CCF [-]" if i == 0 else None)
+        ax.tick_params(labelleft=i == 0)
+        ax.set_xlim(*lag_lim)
+        ax.set_ylim(*cc_lim)
+        ax.xaxis.set_minor_locator(AutoMinorLocator())
+        ax.yaxis.set_ticks_position("both")
+        ax.text(0.02, 0.96, pair, transform=ax.transAxes, ha="left",
+                va="top")
+        if i == 0 and "time" in cc.coords:
+            ax.text(0.98, 0.96,
+                    str(np.asarray(cc.coords["time"].values)
+                        .ravel()[0])[:19],
+                    transform=ax.transAxes, ha="right", va="top")
+        axes.append(ax)
+    return gs
 
 
-def plot_ccfs_colored(ds, pair=None, ax=None, cmap: str = "viridis",
-                      **kwargs):
-    """Per-time colored CCF waterfall."""
+def plot_ccfs_colored(ds, sn=None, sn_threshold: float = None,
+                      normalize: bool = False, alpha: float = None,
+                      lag_lim: tuple = None, lag_min: float = None,
+                      lag_max: float = None, ax=None, **kwargs):
+    """Multi-pair CCFs color-coded per pair in one axes, optionally
+    filtered by a signal-to-noise threshold (reference
+    ``xcorr/core/plot.py:403-494``)."""
+    import matplotlib as mpl
     import matplotlib.pyplot as plt
+    from matplotlib.ticker import StrMethodFormatter
 
-    cc = ds["cc"].sel(pair=pair) if pair is not None \
-        else ds["cc"].isel(pair=0)
-    if ax is None:
-        _, ax = plt.subplots(figsize=kwargs.pop("figsize", (9, 5)))
-    lag = cc.coords["lag"].values
-    t = cc.coords["time"].values
-    pc = ax.pcolormesh(lag, t, cc.values, shading="auto", cmap=cmap)
-    plt.colorbar(pc, ax=ax, label="CC")
+    cc, _ = _cc_and_distance(ds, None)
+    ax = ax or plt.gca()
+    alpha = alpha or 0.25
+    if lag_lim is not None:
+        lag_min, lag_max = lag_lim
+
+    vals_all = np.asarray(cc.values, dtype=np.float64)
+    cc_max = float(np.nanmax(np.abs(vals_all))) or 1.0
+    cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
+                                              1.05 * cc_max)
+    cc_fmt = StrMethodFormatter("{x:.1f}" if normalize else "{x:.0e}")
+
+    sn_threshold = (sn_threshold or 10.0) if sn is not None else None
+    lag = np.asarray(cc.coords["lag"].values)
+    pairs = [str(p) for p in
+             np.asarray(cc.coords["pair"].values).ravel()] \
+        if "pair" in cc.coords else [""]
+
+    lines = []
+    for pair, c in zip(pairs, mpl.rcParams["axes.prop_cycle"]()):
+        sel = _isel_pair(cc, pair)
+        vals = np.atleast_2d(np.asarray(sel.values, dtype=np.float64))
+        if sn_threshold is not None:
+            sn_sel = _isel_pair(sn, pair)
+            ok = np.asarray(sn_sel.values, dtype=np.float64) \
+                >= sn_threshold
+            if not ok.any():
+                continue
+            vals = vals[ok]
+        if normalize:
+            vals = vals / cc_max
+        line = None
+        for row in vals:
+            line = ax.plot(lag, row, alpha=alpha, **c, **kwargs)[0]
+        if line is not None:
+            lines.append((line, pair))
+
+    try:
+        ax.ticklabel_format(axis="y", useOffset=False, style="plain")
+    except AttributeError:
+        pass  # a non-scalar formatter is already installed on this axes
+    ax.set_ylim(*cc_lim)
+    ax.set_xlim(lag_min, lag_max)
+    ax.yaxis.set_major_formatter(cc_fmt)
     ax.set_xlabel("Lag [s]")
+    if lines:
+        ax.legend(*zip(*lines))
+    if sn_threshold is not None:
+        ax.set_title(f"{sn.attrs.get('long_name', sn.name or 'SNR')} "
+                     f"> {sn_threshold}")
     return ax
 
 
 def plot_snr_ct(snr, ct=None, ax=None, **kwargs):
-    """SNR time series with triggered periods shaded."""
+    """Per-pair SNR time series with coincidence-trigger periods shaded
+    (reference ``xcorr/core/plot.py:378-400`` + signal.trigger's
+    plot_trigs)."""
     import matplotlib.pyplot as plt
+
+    from ..signal.trigger import plot_trigs
 
     if ax is None:
         _, ax = plt.subplots(figsize=kwargs.pop("figsize", (9, 4)))
     t = snr.coords["time"].values
-    vals = np.atleast_2d(snr.values)
-    for row in vals:
-        ax.plot(t, row, lw=0.7)
+    vals = np.atleast_2d(np.asarray(snr.values, dtype=np.float64))
+    pairs = [str(p) for p in
+             np.asarray(snr.coords["pair"].values).ravel()] \
+        if "pair" in snr.coords else [None] * len(vals)
+    for row, pair in zip(vals, pairs):
+        ax.plot(t, row, lw=0.7, label=pair, **kwargs)
+    if any(p is not None for p in pairs):
+        ax.legend(fontsize=7)
     if ct is not None:
-        trig = np.asarray(ct.values)
-        on = ~np.isnan(trig)
-        ax.fill_between(t, 0, np.nanmax(vals) if vals.size else 1.0,
-                        where=on, alpha=0.15, color="red")
-    ax.set_ylabel("SNR")
+        plot_trigs(snr, ct, ax=ax)
+    ax.set_ylabel(snr.attrs.get("long_name", "SNR"))
     return ax
 
 
-def set_year_labels(ax, **kwargs):
-    """Format a datetime x-axis with year ticks."""
-    import matplotlib.dates as mdates
+def set_year_labels(ax, start="2014-01-01", end="2021-01-01", **kwargs):
+    """Center year labels between year-start ticks (reference
+    ``xcorr/core/plot.py:497-520``)."""
+    import matplotlib as mpl
+    import pandas as pd
 
-    ax.xaxis.set_major_locator(mdates.YearLocator())
-    ax.xaxis.set_major_formatter(mdates.DateFormatter("%Y"))
+    t0, t1 = pd.to_datetime(start), pd.to_datetime(end)
+    ax.set_xlim(t0.to_datetime64(), t1.to_datetime64())
+    ax.set_xlabel(None)
+
+    ticks = pd.date_range(t0, t1, freq="1YS")
+    labels = ticks[:-1] + pd.DateOffset(months=6)
+
+    ax.set_xticks(ticks.values)
+    ax.xaxis.set_major_formatter(mpl.ticker.NullFormatter())
+    ax.set_xticks(labels.values, minor=True)
+    ax.set_xticklabels(labels.strftime("%Y").values, minor=True, **kwargs)
+    for tick in ax.xaxis.get_minor_ticks():
+        tick.tick1line.set_markersize(0)
+        tick.tick2line.set_markersize(0)
+        tick.label1.set_horizontalalignment("center")
     return ax

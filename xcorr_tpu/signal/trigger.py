@@ -198,7 +198,22 @@ def _to_dataframe(da, dim):
 
 
 def plot_trigs(x, trigs, ax=None, ylim=None):
-    """Plot characteristic functions with triggered periods shaded
-    (reference ``xcorr/signal/trigger.py:269-299``)."""
-    from ..core.plot import plot_snr_ct
-    return plot_snr_ct(x, trigs, ax=ax)
+    """Shade the triggered periods of ``trigs`` over the characteristic
+    functions ``x`` (reference ``xcorr/signal/trigger.py:269-299``)."""
+    import matplotlib.pyplot as plt
+
+    ax = ax or plt.gca()
+    xv = np.asarray(x.values, dtype=np.float64)
+    ymin, ymax = ylim or (0.0, float(np.nanmax(xv)) if xv.size else 1.0)
+    tv = np.asarray(trigs.values, dtype=np.float64)
+    t = np.asarray(trigs.coords["time"].values)
+    if not np.isfinite(tv).any():
+        return ax
+    imin = int(np.nanmin(tv))
+    imax = int(np.nanmax(tv))
+    for i in range(imin, imax + 1):
+        sel = tv == i
+        if sel.any():
+            ax.fill_between(t, ymin, ymax, where=sel, alpha=0.2,
+                            color="black")
+    return ax
