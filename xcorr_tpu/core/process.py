@@ -72,9 +72,9 @@ def process(dataset, client, inventory=None, retry_missing: bool = False,
                 continue
             work.append((ip, it))
             if test_run:
+                # reference semantics: one window PER PAIR (only the
+                # time loop breaks, xcorr/core/process.py:120-125)
                 break
-        if test_run and work:
-            break
     if not work:
         _finalize(dataset, verb)
         return dataset

@@ -81,6 +81,11 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
     f64 oracle work), four-step pruned kernel for day-scale windows on
     accelerators. ``method``: 'auto' | 'monolithic' | 'fourstep'."""
     n = x.shape[-1]
+    if method == "fourstep" and (unbiased or nfft is not None
+                                 or clip_weight is not None):
+        raise ValueError(
+            "method='fourstep' does not support unbiased/nfft/"
+            "clip_weight; use method='auto' or 'monolithic'")
     use4 = method == "fourstep" or (
         method == "auto" and nfft is None and not unbiased
         and n >= FOURSTEP_THRESHOLD

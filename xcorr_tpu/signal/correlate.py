@@ -67,19 +67,36 @@ def correlate1d(in1, in2, dim: str = None, normalize: bool = True,
 
     new_dim = f"delta_{dim}"
     out_dims = tuple(new_dim if d == dim else d for d in dims)
-    y = DataArray(np.asarray(out).astype(dtype or in1.dtype), dims=out_dims,
-                  name=in1.name, attrs=dict(in1.attrs))
+    odt = np.dtype(dtype or in1.dtype)
+    y = DataArray(np.asarray(out).astype(odt), dims=out_dims,
+                  name="cc", attrs=_cc_attrs(in1, in2, normalize, odt))
     y._coords = {k: c for k, c in in1.coords.items()
                  if all(d in out_dims for d in c.dims)}
     y._coords[new_dim] = _delta_coord(in1.coords[dim], new_dim)
-    # merge both input histories (reference keeps dual provenance)
-    h2 = in2.attrs.get("history")
-    if h2 and h2 != y.attrs.get("history"):
-        y.attrs["history_in2"] = h2
     historicize(y, f="correlate1d", a={
         "in1": in1.name, "in2": in2.name, "dim": dim,
         "normalize": normalize})
     return y
+
+
+def _cc_attrs(in1, in2, normalize, dtype):
+    """The reference's canonical cc output attrs
+    (``xcorr/signal/correlate.py:135-149``) — NOT in1's attrs, so
+    downstream ops like ``signal.unbias`` see the correct flags."""
+    t = dtype.type
+    return {
+        "long_name": "Cross-correlation Estimate",
+        "standard_name": "cross_correlation_estimate",
+        "units": "-",
+        "add_offset": t(0.0),
+        "scale_factor": t(1.0),
+        "valid_range": np.array([-1.0, 1.0], dtype=dtype),
+        "normalize": np.byte(normalize),
+        "bias_correct": np.byte(0),
+        "unbiased": np.byte(0),
+        "history_in1": in1.attrs.get("history", ""),
+        "history_in2": in2.attrs.get("history", ""),
+    }
 
 
 def correlate2d(in1, in2, dims: tuple = None, normalize: bool = True,
@@ -116,8 +133,9 @@ def correlate2d(in1, in2, dims: tuple = None, normalize: bool = True,
 
     nd1, nd2 = f"delta_{dims[0]}", f"delta_{dims[1]}"
     out_dims = tuple(d for d in order[:-2]) + (nd1, nd2)
-    y = DataArray(np.asarray(r).astype(dtype or in1.dtype), dims=out_dims,
-                  name=in1.name, attrs=dict(in1.attrs))
+    odt = np.dtype(dtype or in1.dtype)
+    y = DataArray(np.asarray(r).astype(odt), dims=out_dims,
+                  name="cc", attrs=_cc_attrs(in1, in2, normalize, odt))
     y._coords = {k: c for k, c in in1.coords.items()
                  if all(d in out_dims for d in c.dims)}
     y._coords[nd1] = _delta_coord(in1.coords[dims[0]], nd1)

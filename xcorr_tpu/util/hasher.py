@@ -115,9 +115,11 @@ def hash_DataArray(darray, metadata_only: bool = True, hashlib_obj=None,
                 h.update(str(d).encode(_enc))
         else:
             # one buffer update produces the identical digest to the
-            # reference's per-element nditer loop (C memory order), ~100x
-            # faster on day-scale arrays
-            h.update(np.ascontiguousarray(data).tobytes())
+            # reference's per-element nditer loop, ~100x faster on
+            # day-scale arrays. nditer iterates in MEMORY (K) order, so
+            # serialize in K order too — a transposed view must hash
+            # like the reference, not like its C-ordered copy
+            h.update(data.ravel(order="K").tobytes())
     if debug:
         print(darray.name, h.hexdigest())
     return None if hashlib_obj else h.hexdigest()
