@@ -246,6 +246,7 @@ class TestFourStep:
         pl.pallas_call = interp
         try:
             pallas_fft.plan_fused_stageb.cache_clear()
+            pallas_fft.plan_fused_corr.cache_clear()
             fft4.plan_correlate4.cache_clear()
             rng = np.random.default_rng(3)
             n, imin, imax = 2000, 1999, 3000
@@ -278,6 +279,7 @@ class TestFourStep:
         finally:
             pl.pallas_call = orig
             pallas_fft.plan_fused_stageb.cache_clear()
+            pallas_fft.plan_fused_corr.cache_clear()
             fft4.plan_correlate4.cache_clear()
 
 

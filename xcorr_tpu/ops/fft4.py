@@ -338,6 +338,7 @@ def _precision(name):
     HIGH lowering either — hence ops.pallas_fft's manual expansion."""
     return {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
+            "high3": jax.lax.Precision.HIGH,  # kernel-side tag; XLA = HIGH
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
@@ -366,7 +367,9 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
 
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
     if N1 % 2 == 0:
-        half = ((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS
+        # clamp: for small even N1 (< 2*ROWS-2) the ROWS-rounded half
+        # exceeds N1, which would desync W1[:half] from the kernel plan
+        half = min(((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS, N1)
     else:  # odd N1: no self-paired Nyquist row; keep it simple, run full
         half = N1
     W1_re = p["W1"].real[:half].copy()
@@ -447,8 +450,8 @@ def traffic_model(n: int, index_min: int = None, index_max: int = None,
     p = _plan(n, index_min, index_max, n1)
     N1, N2, rows_in = p["N1"], p["N2"], p["rows_in"]
     # Hermitian half-row pruning (see _build_pallas_corr)
-    half = ((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS if N1 % 2 == 0 \
-        else N1
+    half = min(((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS, N1) \
+        if N1 % 2 == 0 else N1
     f = 4  # float32
     plane = half * N2 * f
     stage_a = 2 * (rows_in * N2 * f + 2 * plane)   # read A, write re+im

@@ -29,6 +29,19 @@ Complex data travels as separate float32 re/im planes (the axon PJRT
 tunnel cannot transfer complex, and Mosaic prefers real tiles).
 Data layout: rows flattened to (B*N1, N2); the outer twiddle block for
 grid step i is T[(i % (N1/ROWS)) block] since rows cycle through k1.
+
+Precision strategy (the MXU multiplies in bf16; see ``_PRECISIONS``):
+the production ``precision='high'`` path recovers ~f32 multiplies via a
+bf16 hi/lo expansion with all the static work hoisted to the HOST —
+the DFT/adjoint matrices are pre-split into bf16 (hi, hi, lo) stacks
+along the contraction dim and the (real | imag) halves stacked along
+the output dim, so one MXU ``dot_general`` per complex operand computes
+all three expansion products AND accumulates them inside the MXU's f32
+accumulator. In-kernel VPU work per complex dot drops from 6 operand
+splits + 6 accumulator adds + 4 combines (the round-1 Karatsuba form,
+kept as ``precision='high3'``) to 2 data splits + 2 contraction-dim
+concats + 2 combines. The inverse 1/P, 1/Q scales fold into the host
+constants for free.
 """
 
 from __future__ import annotations
@@ -64,12 +77,8 @@ def _cmul(ar, ai, br, bi):
 # the normalized CC — 3.5e-3 of the CC peak, far off the 1e-6 oracle
 # target. 'high' (the default) recovers ~18-bit multiplies with a
 # MANUAL bf16 hi/lo expansion (Mosaic has no native HIGH lowering) at
-# ~1.5x the single-pass wall time. 'highest' (Mosaic's 6-pass f32) is
-# exact but ~30x slower end-to-end — verification only. Measured on
-# v5e-1 at production size (n=4.32M, B=16, vs a host f64 oracle):
-#   default  23.8 ms = 83.9 pd/s   max err 9.6e-6 (4.1e-3 of peak)
-#   high     36.0 ms = 55.5 pd/s   max err 6.2e-8 (2.7e-5 of peak)
-#   highest  ~1.1 s  =  1.7 pd/s   max err 6.6e-10
+# a fraction over the single-pass wall time. 'highest' (Mosaic's 6-pass
+# f32) is exact but ~30x slower end-to-end — verification only.
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
@@ -81,6 +90,37 @@ def _split_bf16(v):
     hi = v.astype(jnp.bfloat16)
     lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _host_split_bf16(v):
+    """Host-side f32 -> (hi, lo) bf16 pair, matching :func:`_split_bf16`."""
+    import ml_dtypes
+    v = np.asarray(v, dtype=np.float32)
+    hi = v.astype(ml_dtypes.bfloat16)
+    lo = (v - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _pack_rhs(Br, Bi, k_axis, m_axis):
+    """Combined bf16 rhs constant for a complex DFT matrix B: the whole
+    complex multiply as ONE real matmul.
+
+    The complex product ``[gr gi] = [ar ai] · [[Br Bi], [-Bi Br]]`` is a
+    real 2x2 block matrix; each block additionally carries the bf16
+    hi/lo expansion stacked ``[hi, hi, lo]`` along K — pairing a
+    kernel-side lhs stack ``[ah_hi, ah_lo, ah_hi]`` this yields
+    ``a·b ≈ ah·bh + al·bh + ah·bl`` (the ~2^-32 ``al·bl`` term dropped)
+    with all accumulation inside the MXU's f32 accumulator. Layout:
+    K axis = [ar terms (3K) | ai terms (3K)], M axis = [real | imag],
+    so one dot_general produces the full complex stage output with ZERO
+    VPU accumulator or combine adds.
+    """
+    def k3(B):
+        h, l = _host_split_bf16(B)
+        return np.concatenate([h, h, l], axis=k_axis)
+    col_r = np.concatenate([k3(Br), k3(-Bi)], axis=k_axis)   # (6K,) -> gr
+    col_i = np.concatenate([k3(Bi), k3(Br)], axis=k_axis)    # (6K,) -> gi
+    return np.concatenate([col_r, col_i], axis=m_axis)       # (6K, 2M)
 
 
 def _dot3(a, b, dn):
@@ -141,14 +181,39 @@ def _cdot(ar, ai, br, bi, dn, prec):
     return rr - ii, ri + ir
 
 
+def _cdot_pre(ar, ai, B6, dn, k_axis, m):
+    """Complex dot against a host-pre-split constant (see :func:`_pack_rhs`).
+
+    ONE wide MXU dot: both real lhs operands are split in-kernel and
+    stacked ``[ar_hi, ar_lo, ar_hi, ai_hi, ai_lo, ai_hi]`` along the
+    contraction axis against the combined 2x2-block constant; the MXU's
+    f32 accumulator performs the whole complex multiply AND the hi/lo
+    expansion sums internally. In-kernel VPU work: 2 splits + 1 concat.
+    """
+    f32 = jnp.float32
+    arh, arl = _split_bf16(ar)
+    aih, ail = _split_bf16(ai)
+    a6 = jnp.concatenate([arh, arl, arh, aih, ail, aih], axis=k_axis)
+    o = jax.lax.dot_general(a6, B6, dn, preferred_element_type=f32)
+    return o[..., :m], o[..., m:]
+
+
 def _geometry(N1: int, N2: int, N: int, precision: str):
     """Shared plan pieces: P x Q split, constants, DFT/adjoint closures,
-    block specs and a pallas_call wrapper factory."""
+    block specs and a pallas_call wrapper factory.
+
+    Returns ``(_dft, _idft, _call)`` where the transform closures take
+    ``(re, im, consts)`` with ``consts`` the loaded non-T constant
+    values, and ``_call(kernel, n_data)`` wraps a kernel written as
+    ``kernel(*data_refs, t_re, t_im, *const_refs, *out_refs)``.
+    """
     if N1 % ROWS:
         raise ValueError(f"N1={N1} must be a multiple of {ROWS}")
-    # 'high' -> the manual bf16x3 expansion (Mosaic's own HIGH lowering
-    # is NotImplemented; its HIGHEST is ~30x slower than this)
-    prec = "high3" if precision == "high" else _PRECISIONS[precision]
+    presplit = precision == "high"
+    # 'high3' -> round-1 in-kernel bf16x3 expansion (kept for A/B);
+    # 'high' -> host-pre-split constants + MXU-internal accumulation
+    prec = precision if precision in ("high3",) else (
+        None if presplit else _PRECISIONS[precision])
     P, Q = _split_pq_pallas(N2)
     nb_t = N1 // ROWS  # T blocks per batch element
 
@@ -158,11 +223,26 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
     WQ = np.exp(-2j * np.pi * np.outer(np.arange(Q), np.arange(Q)) / Q)
     T2 = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(Q)) / N2)
     T2T = T2.T.copy()  # (q, k_p) layout for the transpose-free forward
-    c = [T.real.astype(np.float32), T.imag.astype(np.float32),
-         WP.real.astype(np.float32), WP.imag.astype(np.float32),
-         WQ.real.astype(np.float32), WQ.imag.astype(np.float32),
-         T2.real.astype(np.float32), T2.imag.astype(np.float32),
-         T2T.real.astype(np.float32), T2T.imag.astype(np.float32)]
+
+    f32 = np.float32
+    t_consts = [T.real.astype(f32), T.imag.astype(f32)]
+    if presplit:
+        # forward stages contract the rhs's dim 1; inverse stages its
+        # dim 0 (adjoint). The inverse 1/Q, 1/P normalizations fold
+        # straight into the host constants.
+        c = [T2.real.astype(f32), T2.imag.astype(f32),
+             T2T.real.astype(f32), T2T.imag.astype(f32),
+             _pack_rhs(WP.real, WP.imag, k_axis=1, m_axis=0),   # (2P, 6P)
+             _pack_rhs(WQ.real, WQ.imag, k_axis=1, m_axis=0),   # (2Q, 6Q)
+             _pack_rhs(WQ.real / Q, -WQ.imag / Q,
+                       k_axis=0, m_axis=1),                      # (6Q, 2Q)
+             _pack_rhs(WP.real / P, -WP.imag / P,
+                       k_axis=0, m_axis=1)]                      # (6P, 2P)
+    else:
+        c = [WP.real.astype(f32), WP.imag.astype(f32),
+             WQ.real.astype(f32), WQ.imag.astype(f32),
+             T2.real.astype(f32), T2.imag.astype(f32),
+             T2T.real.astype(f32), T2T.imag.astype(f32)]
 
     # contraction specs
     dn_fwd_p = (((1,), (1,)), ((), ()))   # (R,P,Q) x (Pk,P) over P
@@ -170,43 +250,64 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
     dn_inv_q = (((2,), (0,)), ((), ()))   # (R,Pk,Qk) x (Qk,Q) over Qk
     dn_inv_p = (((1,), (0,)), ((), ()))   # (R,Pk,Q) x (Pk,P) over Pk
 
-    def _dft(ar, ai, wp_re, wp_im, wq_re, wq_im, t2t_re, t2t_im):
-        # transpose-free: stay in the (ROWS, Q, Pk) layout the P-stage
-        # produces; the inner twiddle arrives host-transposed (q, k_p)
-        # and the Q-stage contracts dim 1 directly -> (ROWS, Pk, Qk)
-        ar = ar.reshape(ROWS, P, Q)
-        ai = ai.reshape(ROWS, P, Q)
-        gr, gi = _cdot(ar, ai, wp_re, wp_im, dn_fwd_p, prec)
-        gr, gi = _cmul(gr, gi, t2t_re[None], t2t_im[None])
-        hr, hi = _cdot(gr, gi, wq_re, wq_im, dn_fwd_q, prec)
-        return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
+    if presplit:
+        def _dft(ar, ai, cs):
+            t2t_re, t2t_im, CFP, CFQ = cs[2], cs[3], cs[4], cs[5]
+            ar = ar.reshape(ROWS, P, Q)
+            ai = ai.reshape(ROWS, P, Q)
+            gr, gi = _cdot_pre(ar, ai, CFP, dn_fwd_p, 1, P)  # (R,Q,Pk)
+            gr, gi = _cmul(gr, gi, t2t_re[None], t2t_im[None])
+            hr, hi = _cdot_pre(gr, gi, CFQ, dn_fwd_q, 1, Q)  # (R,Pk,Qk)
+            return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
 
-    def _idft(sr, si, wp_re, wp_im, wq_re, wq_im, t2_re, t2_im):
-        sr = sr.reshape(ROWS, P, Q)
-        si = si.reshape(ROWS, P, Q)
-        gr, gi = _cdot(sr, si, wq_re, -wq_im, dn_inv_q, prec)
-        gr = gr * (1.0 / Q)
-        gi = gi * (1.0 / Q)
-        gr, gi = _cmul(gr, gi, t2_re[None], -t2_im[None])
-        hr, hi = _cdot(gr, gi, wp_re, -wp_im, dn_inv_p, prec)
-        hr = jnp.swapaxes(hr, 1, 2) * (1.0 / P)
-        hi = jnp.swapaxes(hi, 1, 2) * (1.0 / P)
-        return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
+        def _idft(sr, si, cs):
+            t2_re, t2_im, CIQ, CIP = cs[0], cs[1], cs[6], cs[7]
+            sr = sr.reshape(ROWS, P, Q)
+            si = si.reshape(ROWS, P, Q)
+            gr, gi = _cdot_pre(sr, si, CIQ, dn_inv_q, 2, Q)  # (R,Pk,Q)
+            gr, gi = _cmul(gr, gi, t2_re[None], -t2_im[None])
+            hr, hi = _cdot_pre(gr, gi, CIP, dn_inv_p, 1, P)  # (R,Q,P)
+            hr = jnp.swapaxes(hr, 1, 2)
+            hi = jnp.swapaxes(hi, 1, 2)
+            return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
+    else:
+        def _dft(ar, ai, cs):
+            wp_re, wp_im, wq_re, wq_im = cs[0], cs[1], cs[2], cs[3]
+            t2t_re, t2t_im = cs[6], cs[7]
+            # transpose-free: stay in the (ROWS, Q, Pk) layout the
+            # P-stage produces; the inner twiddle arrives
+            # host-transposed (q, k_p) and the Q-stage contracts dim 1
+            # directly -> (ROWS, Pk, Qk)
+            ar = ar.reshape(ROWS, P, Q)
+            ai = ai.reshape(ROWS, P, Q)
+            gr, gi = _cdot(ar, ai, wp_re, wp_im, dn_fwd_p, prec)
+            gr, gi = _cmul(gr, gi, t2t_re[None], t2t_im[None])
+            hr, hi = _cdot(gr, gi, wq_re, wq_im, dn_fwd_q, prec)
+            return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
+
+        def _idft(sr, si, cs):
+            wp_re, wp_im, wq_re, wq_im = cs[0], cs[1], cs[2], cs[3]
+            t2_re, t2_im = cs[4], cs[5]
+            sr = sr.reshape(ROWS, P, Q)
+            si = si.reshape(ROWS, P, Q)
+            gr, gi = _cdot(sr, si, wq_re, -wq_im, dn_inv_q, prec)
+            gr = gr * (1.0 / Q)
+            gi = gi * (1.0 / Q)
+            gr, gi = _cmul(gr, gi, t2_re[None], -t2_im[None])
+            hr, hi = _cdot(gr, gi, wp_re, -wp_im, dn_inv_p, prec)
+            hr = jnp.swapaxes(hr, 1, 2) * (1.0 / P)
+            hi = jnp.swapaxes(hi, 1, 2) * (1.0 / P)
+            return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
 
     data_spec = pl.BlockSpec((ROWS, N2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((ROWS, N2), lambda i: (i % nb_t, 0),
                           memory_space=pltpu.VMEM)
-    wp_spec = pl.BlockSpec((P, P), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    wq_spec = pl.BlockSpec((Q, Q), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    t2_spec = pl.BlockSpec((P, Q), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    t2t_spec = pl.BlockSpec((Q, P), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    const_specs = [t_spec, t_spec, wp_spec, wp_spec, wq_spec, wq_spec,
-                   t2_spec, t2_spec, t2t_spec, t2t_spec]
+    const_specs = [t_spec, t_spec] + [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in c]
+    all_consts = t_consts + c
+    n_const = len(c)
 
     def _call(kernel, n_data):
         def run(*arrays):
@@ -224,10 +325,10 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
                 in_specs=[data_spec] * n_data + const_specs,
                 out_specs=(data_spec, data_spec),
                 out_shape=out_shape,
-            )(*arrays, *c)
+            )(*arrays, *all_consts)
         return run
 
-    return _dft, _idft, _call
+    return _dft, _idft, _call, n_const
 
 
 @lru_cache(maxsize=8)
@@ -238,22 +339,21 @@ def plan_fused_stageb(N1: int, N2: int, N: int,
     fwd(Ah_re, Ah_im) -> (F_re, F_im); inv(Fx_re, Fx_im, Fy_re, Fy_im)
     -> (C_re, C_im). All arrays (B*N1, N2) float32 with B*N1 % ROWS == 0.
     """
-    _dft, _idft, _call = _geometry(N1, N2, N, precision)
+    _dft, _idft, _call, n_const = _geometry(N1, N2, N, precision)
 
-    def fwd_kernel(ah_re, ah_im, t_re, t_im, wp_re, wp_im, wq_re, wq_im,
-                   t2_re, t2_im, t2t_re, t2t_im, f_re, f_im):
+    def fwd_kernel(ah_re, ah_im, t_re, t_im, *refs):
+        cs = [r[...] for r in refs[:n_const]]
+        f_re, f_im = refs[n_const:]
         ar, ai = _cmul(ah_re[...], ah_im[...], t_re[...], t_im[...])
-        hr, hi = _dft(ar, ai, wp_re[...], wp_im[...], wq_re[...],
-                      wq_im[...], t2t_re[...], t2t_im[...])
+        hr, hi = _dft(ar, ai, cs)
         f_re[...] = hr
         f_im[...] = hi
 
-    def inv_kernel(fx_re, fx_im, fy_re, fy_im, t_re, t_im, wp_re, wp_im,
-                   wq_re, wq_im, t2_re, t2_im, t2t_re, t2t_im,
-                   c_re, c_im):
+    def inv_kernel(fx_re, fx_im, fy_re, fy_im, t_re, t_im, *refs):
+        cs = [r[...] for r in refs[:n_const]]
+        c_re, c_im = refs[n_const:]
         sr, si = _cmul(fx_re[...], fx_im[...], fy_re[...], -fy_im[...])
-        hr, hi = _idft(sr, si, wp_re[...], wp_im[...], wq_re[...],
-                       wq_im[...], t2_re[...], t2_im[...])
+        hr, hi = _idft(sr, si, cs)
         cr, ci = _cmul(hr, hi, t_re[...], -t_im[...])
         c_re[...] = cr
         c_im[...] = ci
@@ -273,22 +373,18 @@ def plan_fused_corr(N1: int, N2: int, N: int,
     Identical math/op-order to running plan_fused_stageb's fwd twice
     plus inv once, minus two full HBM round-trips of the spectra.
     """
-    _dft, _idft, _call = _geometry(N1, N2, N, precision)
+    _dft, _idft, _call, n_const = _geometry(N1, N2, N, precision)
 
-    def corr_kernel(axr, axi, ayr, ayi, t_re, t_im, wp_re, wp_im,
-                    wq_re, wq_im, t2_re, t2_im, t2t_re, t2t_im,
-                    c_re, c_im):
+    def corr_kernel(axr, axi, ayr, ayi, t_re, t_im, *refs):
+        cs = [r[...] for r in refs[:n_const]]
+        c_re, c_im = refs[n_const:]
         tr, ti = t_re[...], t_im[...]
-        wf = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
-              t2t_re[...], t2t_im[...])
-        wi = (wp_re[...], wp_im[...], wq_re[...], wq_im[...],
-              t2_re[...], t2_im[...])
         ar, ai = _cmul(axr[...], axi[...], tr, ti)
-        fxr, fxi = _dft(ar, ai, *wf)
+        fxr, fxi = _dft(ar, ai, cs)
         br, bi = _cmul(ayr[...], ayi[...], tr, ti)
-        fyr, fyi = _dft(br, bi, *wf)
+        fyr, fyi = _dft(br, bi, cs)
         sr, si = _cmul(fxr, fxi, fyr, -fyi)
-        hr, hi = _idft(sr, si, *wi)
+        hr, hi = _idft(sr, si, cs)
         cr, ci = _cmul(hr, hi, tr, -ti)
         c_re[...] = cr
         c_im[...] = ci
