@@ -338,7 +338,8 @@ def _precision(name):
     HIGH lowering either — hence ops.pallas_fft's manual expansion."""
     return {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
-            "high3": jax.lax.Precision.HIGH,  # kernel-side tag; XLA = HIGH
+            "high3": jax.lax.Precision.HIGH,       # kernel tags; the
+            "high_block": jax.lax.Precision.HIGH,  # XLA side runs HIGH
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
@@ -372,8 +373,11 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         half = min(((N1 // 2 + 1) + ROWS - 1) // ROWS * ROWS, N1)
     else:  # odd N1: no self-paired Nyquist row; keep it simple, run full
         half = N1
-    W1_re = p["W1"].real[:half].copy()
-    W1_im = p["W1"].imag[:half].copy()
+    # packed (2, half, rows_in) stage-A matrix: ONE einsum per signal
+    # produces re+im stacked, so the padded input is read once (not
+    # twice) and the (B, 2, half, N2) output feeds the Pallas kernel
+    # directly — no row-flattening relayout copies
+    W1cat = np.stack([p["W1"].real[:half], p["W1"].imag[:half]])
     # real-ifft fold weights over the retained k1 columns
     if half == N1:  # full fallback: every row contributes once
         w = np.ones(half)
@@ -383,34 +387,25 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         w[0] = 1.0
         w[N1 // 2] = 1.0
     Wi = p["W1inv"][:, :half] * w[None, :]
-    Wi_re, Wi_im = Wi.real.copy(), Wi.imag.copy()
+    # Re(sum_k w(k) W1inv[r,k] C(k)) = Wi_re·cr - Wi_im·ci as ONE
+    # einsum over the packed axis: [0] = Wi_re, [1] = -Wi_im
+    Wicat = np.stack([Wi.real, -Wi.imag])      # (2, rows_out, half)
     segs_flat = p["segs_flat"]
     corr2 = plan_fused_corr(half, N2, N, precision)
     prec = _precision(precision)
 
-    def stage_a(v, w1r, w1i):
+    def stage_a(v, w1cat):
         pad = rows_in * N2 - n
         A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
-        ah_re = _einsum("kr,brj->bkj", w1r, A, prec)
-        ah_im = _einsum("kr,brj->bkj", w1i, A, prec)
-        B = v.shape[0]
-        return ah_re.reshape(B * half, N2), ah_im.reshape(B * half, N2)
+        return _einsum("pkr,brj->bpkj", w1cat, A, prec)
 
     @jax.jit
     def corr(x, y):
-        w1r = jnp.asarray(W1_re)
-        w1i = jnp.asarray(W1_im)
-        wir = jnp.asarray(Wi_re)
-        wii = jnp.asarray(Wi_im)
+        w1 = jnp.asarray(W1cat.astype(np.float32))
+        wi = jnp.asarray(Wicat.astype(np.float32))
         B = x.shape[0]
-        axr, axi = stage_a(x, w1r, w1i)
-        ayr, ayi = stage_a(y, w1r, w1i)
-        cr, ci = corr2(axr, axi, ayr, ayi)
-        cr = cr.reshape(B, half, N2)
-        ci = ci.reshape(B, half, N2)
-        # Re(sum_k w(k) W1inv[:, k] C(k)): two real matmuls
-        out = (_einsum("rk,bkj->brj", wir, cr, prec)
-               - _einsum("rk,bkj->brj", wii, ci, prec))
+        ccat = corr2(stage_a(x, w1), stage_a(y, w1))
+        out = _einsum("prk,bpkj->brj", wi, ccat, prec)
         r = _take_lag_window(out.reshape(B, -1), segs_flat)
         if normalize:
             nx = jnp.linalg.norm(x, axis=-1, keepdims=True)

@@ -209,10 +209,16 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
     """
     if N1 % ROWS:
         raise ValueError(f"N1={N1} must be a multiple of {ROWS}")
-    presplit = precision == "high"
-    # 'high3' -> round-1 in-kernel bf16x3 expansion (kept for A/B);
-    # 'high' -> host-pre-split constants + MXU-internal accumulation
-    prec = precision if precision in ("high3",) else (
+    # 'high' (and its alias 'high3') -> in-kernel bf16x3 Karatsuba
+    # expansion: MEASURED FASTEST precise variant (18.1 ms/batch B=16
+    # v5e-1 vs 19.6 for the pre-split block form — Mosaic fuses the
+    # narrow-dot epilogues well, and the wide-K lhs concat the block
+    # form needs costs more than the adds/splits it removes).
+    # 'high_block' -> host-pre-split 2x2-block constants with
+    # MXU-internal accumulation (kept for future A/B: fewer VPU ops on
+    # paper, slightly slower in practice).
+    presplit = precision == "high_block"
+    prec = "high3" if precision in ("high", "high3") else (
         None if presplit else _PRECISIONS[precision])
     P, Q = _split_pq_pallas(N2)
     nb_t = N1 // ROWS  # T blocks per batch element
@@ -299,22 +305,39 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
             hi = jnp.swapaxes(hi, 1, 2) * (1.0 / P)
             return hr.reshape(ROWS, N2), hi.reshape(ROWS, N2)
 
-    data_spec = pl.BlockSpec((ROWS, N2), lambda i: (i, 0),
+    # 2-D grid (k1-block, batch element) with the batch iterating
+    # FASTEST: the outer-twiddle T block's index depends only on the
+    # k1-block, so Pallas keeps it resident in VMEM across all B batch
+    # elements instead of re-fetching it from HBM every step — T is a
+    # full (N1, N2) f32 re/im pair, i.e. half the input-plane traffic
+    # at B=16 and 2x the data planes at B=64 (~0.6-2.3 GB/batch saved).
+    data_spec = pl.BlockSpec((ROWS, N2), lambda i, b: (b * nb_t + i, 0),
                              memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((ROWS, N2), lambda i: (i % nb_t, 0),
+    t_spec = pl.BlockSpec((ROWS, N2), lambda i, b: (i, 0),
                           memory_space=pltpu.VMEM)
     const_specs = [t_spec, t_spec] + [
-        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(a.shape, lambda i, b: (0, 0),
+                     memory_space=pltpu.VMEM)
         for a in c]
+    # packed layout for the production corr kernel: re/im stacked in
+    # ONE (B, 2, N1, N2) tensor per signal, so the XLA-side stage-A and
+    # inverse einsums read/write each signal once and the kernel block
+    # carries both planes. (A k-major (2, N1, B, N2) natural-dot-order
+    # layout with per-k1 shared T rows was MEASURED SLOWER — in-kernel
+    # sublane broadcasts of the (1, N2) twiddle rows cost more than the
+    # transpose copies they remove.)
+    pdata_spec = pl.BlockSpec((1, 2, ROWS, N2),
+                              lambda i, b: (b, 0, i, 0),
+                              memory_space=pltpu.VMEM)
     all_consts = t_consts + c
     n_const = len(c)
 
     def _call(kernel, n_data):
         def run(*arrays):
             rows = arrays[0].shape[0]
-            if rows % ROWS:
-                raise ValueError(f"rows {rows} not a multiple of {ROWS}")
-            grid = (rows // ROWS,)
+            if rows % N1:
+                raise ValueError(f"rows {rows} not a multiple of N1={N1}")
+            grid = (nb_t, rows // N1)
             out_shape = (
                 jax.ShapeDtypeStruct((rows, N2), jnp.float32),
                 jax.ShapeDtypeStruct((rows, N2), jnp.float32),
@@ -328,7 +351,26 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
             )(*arrays, *all_consts)
         return run
 
-    return _dft, _idft, _call, n_const
+    def _call_packed(kernel, n_data):
+        def run(*arrays):
+            B = arrays[0].shape[0]
+            for a in arrays:
+                if a.shape != (B, 2, N1, N2):
+                    raise ValueError(
+                        f"packed input must be (B, 2, {N1}, {N2}), "
+                        f"got {a.shape}")
+            grid = (nb_t, B)
+            out_shape = jax.ShapeDtypeStruct((B, 2, N1, N2), jnp.float32)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[pdata_spec] * n_data + const_specs,
+                out_specs=pdata_spec,
+                out_shape=out_shape,
+            )(*arrays, *all_consts)
+        return run
+
+    return _dft, _idft, _call, _call_packed, n_const
 
 
 @lru_cache(maxsize=8)
@@ -339,7 +381,8 @@ def plan_fused_stageb(N1: int, N2: int, N: int,
     fwd(Ah_re, Ah_im) -> (F_re, F_im); inv(Fx_re, Fx_im, Fy_re, Fy_im)
     -> (C_re, C_im). All arrays (B*N1, N2) float32 with B*N1 % ROWS == 0.
     """
-    _dft, _idft, _call, n_const = _geometry(N1, N2, N, precision)
+    _dft, _idft, _call, _call_packed, n_const = _geometry(
+        N1, N2, N, precision)
 
     def fwd_kernel(ah_re, ah_im, t_re, t_im, *refs):
         cs = [r[...] for r in refs[:n_const]]
@@ -366,30 +409,34 @@ def plan_fused_corr(N1: int, N2: int, N: int,
                     precision: str = "high"):
     """Whole stage-B correlation in ONE kernel launch.
 
-    corr(Ahx_re, Ahx_im, Ahy_re, Ahy_im) -> (C_re, C_im), all arrays
-    (B*N1, N2) float32. Per 8-row block: twiddle+DFT both signals,
-    multiply the spectra (per-bin, hence block-local), adjoint-DFT and
-    conjugate-twiddle the product — the spectra live only in VMEM.
-    Identical math/op-order to running plan_fused_stageb's fwd twice
-    plus inv once, minus two full HBM round-trips of the spectra.
+    corr(Ahx, Ahy) -> C, all arrays (2, N1, B, N2) float32 with re/im
+    packed on axis 0 — the NATURAL output order of the stage-A
+    dot_general, so the XLA-side producers/consumers touch each signal
+    once and insert no transpose copies. Per 8-row block: twiddle+DFT
+    both signals, multiply the spectra (per-bin, hence block-local),
+    adjoint-DFT and conjugate-twiddle the product — the spectra live
+    only in VMEM. Identical math/op-order to running plan_fused_stageb's
+    fwd twice plus inv once, minus two full HBM round-trips of the
+    spectra.
     """
-    _dft, _idft, _call, n_const = _geometry(N1, N2, N, precision)
+    _dft, _idft, _call, _call_packed, n_const = _geometry(
+        N1, N2, N, precision)
 
-    def corr_kernel(axr, axi, ayr, ayi, t_re, t_im, *refs):
+    def corr_kernel(ax, ay, t_re, t_im, *refs):
         cs = [r[...] for r in refs[:n_const]]
-        c_re, c_im = refs[n_const:]
+        c = refs[n_const]
         tr, ti = t_re[...], t_im[...]
-        ar, ai = _cmul(axr[...], axi[...], tr, ti)
+        ar, ai = _cmul(ax[0, 0], ax[0, 1], tr, ti)
         fxr, fxi = _dft(ar, ai, cs)
-        br, bi = _cmul(ayr[...], ayi[...], tr, ti)
+        br, bi = _cmul(ay[0, 0], ay[0, 1], tr, ti)
         fyr, fyi = _dft(br, bi, cs)
         sr, si = _cmul(fxr, fxi, fyr, -fyi)
         hr, hi = _idft(sr, si, cs)
         cr, ci = _cmul(hr, hi, tr, -ti)
-        c_re[...] = cr
-        c_im[...] = ci
+        c[0, 0] = cr
+        c[0, 1] = ci
 
-    return _call(corr_kernel, 4)
+    return _call_packed(corr_kernel, 2)
 
 
 def fused_available() -> bool:
