@@ -200,6 +200,10 @@ def main():
     ap.add_argument("--small", action="store_true", default=None)
     ap.add_argument("--full", dest="small", action="store_false")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--save", action="store_true",
+                    help="also record results into results_latest.json "
+                         "next to this script (bench.py inlines it into "
+                         "the driver artifact)")
     args = ap.parse_args()
 
     import jax
@@ -210,10 +214,25 @@ def main():
         small = jax.devices()[0].platform == "cpu"
 
     names = list(BENCHES) if args.config == "all" else [args.config]
+    results = []
     for name in names:
         res = BENCHES[name](small)
         res["small"] = small
+        results.append(res)
         print(json.dumps(res), flush=True)
+
+    if args.save:
+        import datetime
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results_latest.json")
+        with open(path, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "recorded": datetime.datetime.now(
+                    datetime.timezone.utc).isoformat(timespec="seconds"),
+                "results": results,
+            }, f, indent=1)
+        print(f"saved {path}", flush=True)
 
 
 if __name__ == "__main__":
