@@ -30,14 +30,16 @@ def init(pair: str, starttime, endtime, preprocess: dict, attrs: dict,
          hash_waveforms: bool = False):
     """Initialize an N-D labelled CCF dataset for one receiver pair."""
     if not isinstance(attrs, dict):
-        raise TypeError("attrs should be a dictionary")
+        raise TypeError("attrs must be a dict of global metadata")
     for key, hint in (("institution", "Institution, department"),
                       ("author", "Name - E-mail"),
                       ("source", "Data source description")):
         if key not in attrs:
-            raise KeyError(f"attrs['{key}'] = '{hint}'!")
+            raise KeyError(
+                f"required global attr {key!r} missing (e.g. {hint!r})")
     if not isinstance(pair, str):
-        raise TypeError("pair should be receiver pair string!")
+        raise TypeError(
+            "pair must be a 'RECEIVER-RECEIVER' SEED-id string")
 
     starttime = util.time.to_datetime(starttime)
     endtime = util.time.to_datetime(endtime)
@@ -91,8 +93,8 @@ def init(pair: str, starttime, endtime, preprocess: dict, attrs: dict,
     # lag coordinate (optionally clipped)
     lag = util.cc.lag(npts, delta, pad=True)
     if clip_lag is not None:
-        msg = ("clip_lag should be in seconds of type float or of type "
-               "tuple with length 2 specifying start and end.")
+        msg = ("clip_lag must be seconds: a single float (symmetric "
+               "window) or a (start, end) float tuple")
         if isinstance(clip_lag, float):
             clip_lag = (-abs(clip_lag), abs(clip_lag))
         elif isinstance(clip_lag, tuple) and len(clip_lag) == 2:

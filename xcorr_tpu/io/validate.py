@@ -55,7 +55,7 @@ def validate(dataset, fast: bool = False, quick_and_dirty: bool = False,
 
     if not ("pair" in dataset.coords and "time" in dataset.coords):
         if verb > 0:
-            warnings.warn("Dataset contains no pair and time coordinate.",
+            warnings.warn("dataset lacks the pair/time coordinates",
                           UserWarning)
         return None
 
@@ -68,7 +68,7 @@ def validate(dataset, fast: bool = False, quick_and_dirty: bool = False,
         if sha256_hash_metadata != dataset.attrs["sha256_hash_metadata"]:
             if verb > 0:
                 warnings.warn(
-                    f"Dataset metadata sha256 hash in {src} is inconsistent.",
+                    f"metadata sha256 recorded in {src} does not match its recomputed digest",
                     UserWarning)
             if verb > 1:
                 print("source :", src)
@@ -82,7 +82,7 @@ def validate(dataset, fast: bool = False, quick_and_dirty: bool = False,
         if sha256_hash != dataset.attrs["sha256_hash"]:
             if verb > 0:
                 warnings.warn(
-                    f"Dataset sha256 hash in {src} is inconsistent.",
+                    f"data sha256 recorded in {src} does not match its recomputed digest",
                     UserWarning)
             return None
 
@@ -90,18 +90,18 @@ def validate(dataset, fast: bool = False, quick_and_dirty: bool = False,
         if metadata_hash and \
                 dataset.attrs["sha256_hash_metadata"] != metadata_hash:
             if verb > 0:
-                warnings.warn("Dataset metadata hash does not match.",
+                warnings.warn("metadata hash differs from the requested reference digest",
                               UserWarning)
             return None
         if preprocess_hash and dataset.coords["pair"].attrs[
                 "preprocess"]["sha256_hash"] != preprocess_hash:
             if verb > 0:
-                warnings.warn("Dataset preprocess hash does not match.",
+                warnings.warn("preprocess hash differs from the requested reference digest",
                               UserWarning)
             return None
         if xcorr_version and dataset.attrs["xcorr_version"] != xcorr_version:
             if verb > 0:
-                warnings.warn("Dataset xcorr version does not match.",
+                warnings.warn("dataset was written by a different xcorr version",
                               UserWarning)
             return None
 
