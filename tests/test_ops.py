@@ -65,6 +65,15 @@ class TestCorrelate:
         want = cc_host.cc(x[0], y[0], normalize=True, unbiased=True)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
+    def test_fourstep_rejects_unsupported_args(self):
+        """Forcing method='fourstep' with unbiased/nfft/clip_weight must
+        raise, not silently drop the option."""
+        x = jnp.asarray(np.zeros((1, 64), dtype=np.float32))
+        for kw in ({"unbiased": True}, {"nfft": 128},
+                   {"clip_weight": 2.0}):
+            with pytest.raises(ValueError, match="fourstep"):
+                ops.cc.correlate(x, x, method="fourstep", **kw)
+
     def test_impulse_pair_peak_at_injected_lag(self):
         n, shift = 512, 37
         sig = np.random.default_rng(11).normal(size=n)

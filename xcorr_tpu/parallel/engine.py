@@ -13,7 +13,8 @@ of host-preprocessing each (pair, window) through the Trace methods
    windows on device (static slices inside the jit) — an 8x cut in
    host->device transfer at production overlap,
 3. runs the compiled per-channel preprocess chains + the four-step/Pallas
-   correlation (:class:`xcorr_tpu.parallel.pipeline.SpanPipeline`),
+   correlation (:class:`xcorr_tpu.parallel.pipeline.MultiSpanPipeline`),
+   stacking pairs with a common chain/geometry into one device batch,
 4. fills the dataset's cc/status/offset bookkeeping exactly like the
    host path.
 

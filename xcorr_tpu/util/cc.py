@@ -54,9 +54,19 @@ def cc(x: np.ndarray, y: np.ndarray, normalize: bool = True,
 
 def lag(n: int, delta: float, pad: bool = True):
     """Cross-correlation lag vector in seconds: fftshifted sample lags
-    (``xcorr/util/cc.py:82-108``)."""
+    (``xcorr/util/cc.py:82-108``).
+
+    Computed directly as ``(-(nn-1)/2 .. (nn-1)/2) * delta`` (identical
+    to the reference's fftshift(fftfreq(...)) for the always-odd padded
+    length) with ONE allocation and in-place arithmetic: the fftfreq
+    route touches ~6 fresh 69 MB buffers at day scale, which costs tens
+    of seconds on first-touch-faulting (microVM) hosts."""
     nn = n * 2 - 1 if pad else n
-    return np.fft.fftshift(np.fft.fftfreq(nn, 1 / (nn * delta)))
+    # arange - nn//2 matches fftshift(fftfreq) for odd AND even nn
+    out = np.arange(nn, dtype=np.float64)
+    out -= nn // 2
+    out *= delta
+    return out
 
 
 def weight(n: int, pad: bool = True, clip: float = None):
