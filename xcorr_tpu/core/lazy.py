@@ -134,7 +134,11 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
     stays the data plane, no cross-host coordination needed.
     ``distributed`` forces the behavior; `None` auto-detects."""
     from ..stream.client import Client
+    from ..util.sysmem import (enable_persistent_compile_cache,
+                               malloc_heap_reuse)
 
+    malloc_heap_reuse()  # large-buffer heap reuse (see util.sysmem)
+    enable_persistent_compile_cache()
     client = client_args if hasattr(client_args, "get_waveforms") else \
         Client(**client_args)
 

@@ -7,7 +7,7 @@ SEED-id/geodesy receiver helpers and correlation lag math
 (reference layer: ``xcorr/util/``).
 """
 
-from . import (cc, geo, hasher, history, metadata, profiler,
+from . import (cc, geo, hasher, history, metadata, profiler, sysmem,
                receiver, time, convert)
 from .hasher import (hash, hash_obj, hash_Trace, hash_Stream, hash_DataArray,
                      hash_Dataset)
