@@ -245,6 +245,11 @@ def main():
                          "the driver artifact)")
     args = ap.parse_args()
 
+    from xcorr_tpu.util.sysmem import (enable_persistent_compile_cache,
+                                       malloc_heap_reuse)
+    malloc_heap_reuse()
+    enable_persistent_compile_cache()
+
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
