@@ -49,3 +49,39 @@ def test_plot_snr_ct_and_trigs():
     assert ax is not None
     from xcorr_tpu.signal.trigger import plot_trigs
     assert plot_trigs(snr, ct) is not None
+
+
+def test_plot_ccf_celerity_axis():
+    """With a pair distance, plot_ccf adds the celerity secondary axis
+    (m/s tick labels) and sets lag limits from distance/celerity."""
+    import matplotlib.pyplot as plt
+
+    ds = make_ds()
+    ds["distance"] = (("pair",), np.array([14.6]), {"units": "km"})
+    gs = xplot.plot_ccf(ds, cmin=1460.0, cmax=1500.0)
+    fig = gs.figure
+    fig.canvas.draw()  # tick labels materialize at draw time
+    ax1 = fig.axes[0]
+    # the celerity axis is a secondary (child) axis of the CCF panel
+    labels = [t.get_text() for child in ax1.child_axes
+              for t in child.get_xticklabels()]
+    assert any("m/s" in txt for txt in labels)
+    # lag limits follow distance/celerity (14600 m / 1500..1460 m/s)
+    lo, hi = ax1.get_xlim()
+    assert abs(lo - 14600.0 / 1500.0) < 0.1
+    assert abs(hi - 14600.0 / 1460.0) < 0.1
+    plt.close("all")
+
+
+def test_plot_ccfs_multi_pair_panels():
+    """plot_ccfs renders one stacked panel per pair."""
+    import matplotlib.pyplot as plt
+
+    ds = make_ds()
+    from xcorr_tpu.ndlabel import concat
+    ds2 = make_ds()
+    ds2.coords["pair"] = np.array(["E.F..G-H.I..J"], dtype=object)
+    both = concat([ds, ds2], "pair")
+    gs = xplot.plot_ccfs(both)
+    assert len(gs.figure.axes) == 2
+    plt.close("all")

@@ -319,3 +319,28 @@ class TestProcessDSL:
             out = stream_process.process(Stream([tr]),
                                          [("frobnicate", {})])
         assert out is not None  # invalid ops are skipped with a warning
+
+
+class TestVdmsTimeout:
+    def test_poll_timeout_returns_empty(self):
+        """A request stuck in QUEUED past the deadline yields an empty
+        stream with a timeout warning, not a hang."""
+        import pytest as _pytest
+        from xcorr_tpu.stream.vdms import VDMSClient
+
+        class NeverDone:
+            def submit(self, message):
+                return "req-1"
+
+            def status(self, rid):
+                return "QUEUED"
+
+            def fetch(self, rid):  # pragma: no cover
+                raise AssertionError("fetch must not be called")
+
+        client = VDMSClient(transport=NeverDone(), poll_interval=0.01,
+                            timeout=0.05)
+        with _pytest.warns(UserWarning, match="timed out"):
+            st = client.get_waveforms("IM.H03S1..EDH", "2014-01-01")
+        assert len(st) == 0
+        assert client.last_request[1] == "QUEUED"
