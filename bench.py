@@ -203,12 +203,13 @@ def main():
         imin, imax = n - 1, n - 1 + 162_000
         days_per_batch = n / 4_320_000  # fraction of a pair-day per batch
     else:
-        # 24 h @ 50 Hz; 64 windows = 8 pair-days. B sweep on v5e-1:
-        # 8 -> 1.58 ms/window, 16 -> 1.37, 32 -> 1.22, 64 -> 1.14
-        # (~10 GB peak HBM of 16 GB)
-        n, B = 4_320_000, 64
+        # 24 h @ 50 Hz; 80 windows = 10 pair-days. B sweep on v5e-1
+        # (round-2 kernel, ms/window): 8 -> 1.54, 16 -> 1.31,
+        # 32 -> 1.15, 64 -> 1.064, 80 -> 0.994, 96 -> 0.994
+        # (saturates at 80; ~12.5 GB peak HBM of 16 GB)
+        n, B = 4_320_000, 80
         imin, imax = n - 1, n - 1 + 1_620_000
-        days_per_batch = 8.0
+        days_per_batch = 10.0
 
     times = measure_device(n, B, imin, imax,
                            iters=10 if not small else 5)
