@@ -218,13 +218,12 @@ class TestShardedEngine:
         peaks = out.argmax(axis=-1) - 50
         assert (peaks == 5).all()
 
-    def test_batch_engine(self):
-        from xcorr_tpu.parallel import BatchEngine
-        eng = BatchEngine(npts=512, index_min=411, index_max=611)
+    def test_sharded_correlate_host_oracle(self):
+        from xcorr_tpu.parallel import sharded_correlate
         rng = np.random.default_rng(1)
-        x = rng.normal(size=(5, 512))
+        x = rng.normal(size=(5, 512))  # 5 % 8 != 0: exercises padding
         y = rng.normal(size=(5, 512))
-        out = eng(x, y)
+        out = sharded_correlate(x, y, index_min=411, index_max=611)
         assert out.shape == (5, 200)
         from xcorr_tpu.util import cc as cc_host
         want = cc_host.cc(x[0], y[0], unbiased=False)[411:611]
@@ -334,13 +333,164 @@ class TestDeviceEngine:
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
         device_process(ds, client=make_client(), verb=0, timer=timer)
         stages = timer.stages
-        for stage in ("fetch-archive", "pipeline-build", "device",
+        for stage in ("fetch-archive", "pipeline-build",
+                      "device-dispatch", "device-readback",
                       "bookkeeping"):
             assert stage in stages and stages[stage] >= 0.0
         d = timer.as_dict()
-        assert d["device"]["items"] > 0 and d["device"]["GB"] > 0
+        assert d["device-dispatch"]["items"] > 0
+        assert d["device-dispatch"]["GB"] > 0
 
         ds2 = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
         device_process(ds2, client=make_client(), verb=2)
         out = capsys.readouterr().out
         assert "Stage timings" in out and "device" in out
+
+    def test_device_process_response_epoch_split(self):
+        """A mid-day instrument swap (two inventory epochs with
+        different sensitivities) must deconvolve each window with ITS
+        epoch's response — the span splits into per-epoch device tasks
+        matching the host path (spec: xcorr/util/receiver.py:261-323
+        epoch filtering)."""
+        from xcorr_tpu.parallel import device_process
+        from xcorr_tpu.stream import Channel, Inventory
+        from xcorr_tpu.stream.inventory import PAZResponse
+
+        swap = pd.Timestamp("2014-01-01T02:00")
+        # shape-CHANGING responses (different poles), so a wrong epoch
+        # visibly distorts the deconvolved waveform (a pure sensitivity
+        # change would cancel in the normalized CC)
+        resp1 = PAZResponse(poles=[-0.2 + 0.2j, -0.2 - 0.2j],
+                            zeros=[0.0j, 0.0j], gain=1.0, sensitivity=2.0)
+        resp2 = PAZResponse(poles=[-1.5 + 1.5j, -1.5 - 1.5j],
+                            zeros=[0.0j, 0.0j], gain=1.0, sensitivity=8.0)
+
+        def make_inv(swapped):
+            ch = [Channel("IU", "RAR", "10", "BHZ", latitude=-21.2,
+                          longitude=-159.8, response=resp1)]
+            if swapped:
+                ch += [Channel("IM", "H03S1", "", "EDH", latitude=-33.6,
+                               longitude=-78.8, endtime=swap,
+                               response=resp1),
+                       Channel("IM", "H03S1", "", "EDH", latitude=-33.6,
+                               longitude=-78.8, starttime=swap,
+                               response=resp2)]
+            else:
+                ch += [Channel("IM", "H03S1", "", "EDH", latitude=-33.6,
+                               longitude=-78.8, response=resp1)]
+            return Inventory(ch)
+
+        def single_epoch_inv(resp):
+            return Inventory([
+                Channel("IU", "RAR", "10", "BHZ", latitude=-21.2,
+                        longitude=-159.8, response=resp1),
+                Channel("IM", "H03S1", "", "EDH", latitude=-33.6,
+                        longitude=-78.8, response=resp),
+            ])
+
+        pre = {cha: chain + [("remove_response", {"water_level": 60.0})]
+               for cha, chain in PREPROCESS.items()}
+        inv = make_inv(swapped=True)
+
+        def run(inventory):
+            ds = init_ds(preprocess=pre, inventory=inventory,
+                         endtime=pd.Timestamp("2014-01-01T04:00"))
+            device_process(ds, client=make_client(),
+                           inventory=inventory, verb=0)
+            assert (ds["status"].values == 1).all()
+            return ds
+
+        ds_dev = run(inv)
+        # per-window truth: each epoch's windows must equal a run whose
+        # inventory holds ONLY that epoch's response
+        ds_r1 = run(single_epoch_inv(resp1))
+        ds_r2 = run(single_epoch_inv(resp2))
+        times = pd.DatetimeIndex(ds_dev.coords["time"].values)
+        post = np.nonzero(times > swap)[0]
+        pre_i = np.nonzero(times <= swap)[0]
+        assert post.size and pre_i.size
+        np.testing.assert_allclose(ds_dev["cc"].values[0, pre_i],
+                                   ds_r1["cc"].values[0, pre_i],
+                                   atol=1e-7)
+        np.testing.assert_allclose(ds_dev["cc"].values[0, post],
+                                   ds_r2["cc"].values[0, post],
+                                   atol=1e-7)
+        # discrimination: the two epochs' responses genuinely differ
+        # (old behavior deconvolved post-swap windows with resp1)
+        diff = np.abs(ds_r1["cc"].values[0, post]
+                      - ds_r2["cc"].values[0, post]).max()
+        assert diff > 1e-4, f"epoch swap had no effect (diff={diff})"
+
+    def test_device_process_bulk_multi_day(self):
+        """Several days batch into shared launches; results match the
+        per-day path and finalize() scatters into every dataset."""
+        from xcorr_tpu.parallel import device_process
+        from xcorr_tpu.parallel.engine import device_process_bulk
+
+        def make(day):
+            t0 = pd.Timestamp(f"2014-01-0{day}")
+            return init_ds(starttime=t0,
+                           endtime=t0 + pd.Timedelta("2h"))
+
+        bulk = [make(1), make(2)]
+        finalize, fallback = device_process_bulk(
+            bulk, make_client(), verb=0)
+        assert fallback == []
+        # launch is async: statuses scatter only at finalize()
+        finalize()
+        for ds in bulk:
+            assert (ds["status"].values == 1).all()
+
+        for day, ds in enumerate(bulk, start=1):
+            ref = make(day)
+            device_process(ref, client=make_client(), verb=0)
+            np.testing.assert_allclose(ds["cc"].values, ref["cc"].values,
+                                       rtol=0, atol=1e-7)
+            np.testing.assert_array_equal(ds["time_offset"].values,
+                                          ref["time_offset"].values)
+
+    def test_pipeline_executable_reused_across_days(self):
+        """Different days (different window offsets) must reuse ONE
+        compiled pipeline — offsets are traced arrays, not baked
+        constants (the round-2 cross-process cache-miss fix)."""
+        from xcorr_tpu.parallel import device_process
+        from xcorr_tpu.parallel.engine import _pipeline_cache
+
+        def run(day):
+            t0 = pd.Timestamp(f"2014-02-0{day}T00:30")
+            ds = init_ds(starttime=t0, endtime=t0 + pd.Timedelta("2h"))
+            device_process(ds, client=make_client(), verb=0)
+            assert (ds["status"].values == 1).all()
+
+        run(1)
+        before = set(_pipeline_cache)
+        run(2)  # same geometry, different window offsets
+        new = set(_pipeline_cache) - before
+        assert not new, f"day 2 should reuse day 1's pipeline, got {new}"
+
+    def test_lazy_device_bulk(self, tmp_path):
+        """lazy_process(engine='device') multi-day chunked path: shards
+        written via the writer thread, resume intact."""
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=3, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        results = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, make_client(),
+            inventory=make_inventory(), root=root, verb=0,
+            engine="device", days_per_launch=2)
+        assert results == [True, True, True]
+        for t in times:
+            ds = xcorr_tpu.read(xcorr_tpu.ncfile(PAIR, t, root))
+            assert (ds["status"].values == 1).all()
+            lagv = ds.coords["lag"].values
+            peak = lagv[int(np.argmax(ds["cc"].values[0, 0]))]
+            assert abs(peak - (-DELAY)) < 1.0
+        # resume: everything complete already
+        results2 = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, make_client(),
+            inventory=make_inventory(), root=root, verb=0,
+            engine="device", days_per_launch=2)
+        assert results2 == [True, True, True]

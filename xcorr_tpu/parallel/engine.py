@@ -10,13 +10,18 @@ of host-preprocessing each (pair, window) through the Trace methods
    overlapping windows from the archive per step — at the production 87.5%
    overlap that reads every sample 8x),
 2. ships each raw span to the device ONCE and slices the overlapping
-   windows on device (static slices inside the jit) — an 8x cut in
-   host->device transfer at production overlap,
+   windows on device (traced-offset dynamic slices inside the jit) — an
+   8x cut in host->device transfer at production overlap,
 3. runs the compiled per-channel preprocess chains + the four-step/Pallas
    correlation (:class:`xcorr_tpu.parallel.pipeline.MultiSpanPipeline`),
-   stacking pairs with a common chain/geometry into one device batch,
+   stacking every (pair, day) task with a common chain/geometry into one
+   device batch — :func:`device_process_bulk` batches MULTIPLE datasets
+   (days) per launch, where the kernel's B-sweep pays off (0.99 ms/window
+   at B=80 vs 1.58 at B=8),
 4. fills the dataset's cc/status/offset bookkeeping exactly like the
-   host path.
+   host path — deferred into a ``finalize`` callable so a writer thread
+   can overlap the device->host readback + netCDF writes with the next
+   chunk's fetches and device work.
 
 Equivalence: each window's device input equals the host path's fetched
 buffered window, and the compiled chain reproduces the per-trace ops, so
@@ -31,6 +36,7 @@ from __future__ import annotations
 
 import json
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -38,13 +44,14 @@ import pandas as pd
 from .. import stream as stream_mod
 from .. import util
 from ..stream.compile import HOST_OPS
-from .pipeline import MultiSpanPipeline
+from .pipeline import MultiSpanPipeline, mesh_fingerprint, pad_nwin
 
-__all__ = ["device_process"]
+__all__ = ["device_process", "device_process_bulk"]
 
 # one compiled pipeline per (ops, geometry, response) config, shared
 # across day-tasks and worker threads (every pair-day reuses the same
-# executable; without this each task re-jits the whole fused step)
+# executable; the per-day window offsets are runtime arrays, so the key
+# holds geometry only)
 _pipeline_cache = {}
 _pipeline_lock = threading.Lock()
 
@@ -56,21 +63,20 @@ def _response_key(resp):
             resp.gain, resp.sensitivity, resp.input_units)
 
 
-def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
-                  offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
-                  imin, imax, normalize, resp_a, resp_b, buf_out,
-                  mesh=None):
+def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b, nsrc, nwin,
+                  npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
+                  resp_a, resp_b, buf_out, mesh=None):
     key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
-           span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
+           span_b, fs_b, int(nsrc), int(nwin),
            npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
            _response_key(resp_a), _response_key(resp_b), buf_out,
-           id(mesh) if mesh is not None else None)
+           mesh_fingerprint(mesh))
     with _pipeline_lock:
         pipe = _pipeline_cache.get(key)
         if pipe is None:
             pipe = MultiSpanPipeline(
-                ops_a, ops_b, span_a, fs_a, span_b, fs_b,
-                offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
+                ops_a, ops_b, span_a, fs_a, span_b, fs_b, nsrc, nwin,
+                npts_raw_a, npts_raw_b, npts,
                 index_min=imin, index_max=imax, normalize=normalize,
                 response_a=resp_a, response_b=resp_b,
                 trim_offset=buf_out, mesh=mesh)
@@ -89,7 +95,8 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
                   window_length, buffer, retry_missing, status, timer,
                   kwargs):
     """Fetch raw spans + window offsets for one pair; mark failures in
-    ``status``; return a task dict (or None when nothing runnable)."""
+    ``status``; return a list of task dicts (one per response epoch;
+    empty when nothing is runnable)."""
     pair = str(dataset.coords["pair"].values[ip])
     r_a, r_b = util.receiver.split_pair(pair)[:2]
     cha_a = util.receiver.get_receiver_channel(r_a)
@@ -107,7 +114,7 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
             if status[ip, it] == 0 or (retry_missing
                                        and status[ip, it] == -1)]
     if not work:
-        return None
+        return []
 
     # raw day coverage for both receivers (one archive read each)
     t0 = times[work[0]] - pd.Timedelta(seconds=window_length / 2 + buffer)
@@ -127,20 +134,28 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     if tr_a is None or tr_b is None:
         for it in work:
             status[ip, it] = -1
-        return None
+        return []
 
     fs_a = tr_a.stats.sampling_rate
     fs_b = tr_b.stats.sampling_rate
     npts_raw_a = int(round((window_length + 2 * buffer) * fs_a))
     npts_raw_b = int(round((window_length + 2 * buffer) * fs_b))
 
-    resp_a = resp_b = None
-    if inventory is not None:
-        try:
-            resp_a = inventory.get_response(r_a, times[work[0]])
-            resp_b = inventory.get_response(r_b, times[work[0]])
-        except KeyError:
-            pass
+    # per-WINDOW response epochs: an instrument swap mid-span must not
+    # deconvolve later windows with the earlier response (host-path
+    # equivalence: core.process resolves the inventory at each window's
+    # time). Windows sharing a (resp_a, resp_b) epoch pair become one
+    # task; mixed spans split into several tasks over the same fetch.
+    resp_pairs = []
+    for it in work:
+        ra = rb = None
+        if inventory is not None:
+            try:
+                ra = inventory.get_response(r_a, times[it])
+                rb = inventory.get_response(r_b, times[it])
+            except KeyError:
+                ra = rb = None
+        resp_pairs.append((ra, rb))
 
     # static per-window sample offsets into each receiver's raw span
     def window_offsets(tr, npts_raw, fs):
@@ -167,52 +182,39 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         if k not in good:
             status[ip, work[k]] = -1
     if not good:
-        return None
+        return []
 
     dev_ops_a = [op for op in ops_a if op[0] not in HOST_OPS]
     dev_ops_b = [op for op in ops_b if op[0] not in HOST_OPS]
-    # pairs sharing this key run through ONE compiled chain + device batch
-    group_key = (json.dumps(dev_ops_a), json.dumps(dev_ops_b),
-                 tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
-                 npts_raw_a, npts_raw_b,
-                 _response_key(resp_a), _response_key(resp_b))
-    return {
-        "ip": ip, "work": work, "good": good,
-        "tr_a": tr_a, "tr_b": tr_b, "ia": ia, "ib": ib,
-        "off_a": off_a, "off_b": off_b,
-        "fs_a": fs_a, "fs_b": fs_b,
-        "npts_raw_a": npts_raw_a, "npts_raw_b": npts_raw_b,
-        "dev_ops_a": dev_ops_a, "dev_ops_b": dev_ops_b,
-        "resp_a": resp_a, "resp_b": resp_b,
-        "key": group_key,
-    }
+
+    epochs = {}
+    for k in good:
+        rk = (_response_key(resp_pairs[k][0]),
+              _response_key(resp_pairs[k][1]))
+        epochs.setdefault(rk, []).append(k)
+
+    tasks = []
+    for rk, subset in epochs.items():
+        resp_a, resp_b = resp_pairs[subset[0]]
+        # tasks sharing this key run through ONE compiled chain + batch
+        group_key = (json.dumps(dev_ops_a), json.dumps(dev_ops_b),
+                     tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
+                     npts_raw_a, npts_raw_b, rk)
+        tasks.append({
+            "ip": ip, "work": work, "good": subset,
+            "tr_a": tr_a, "tr_b": tr_b, "ia": ia, "ib": ib,
+            "off_a": off_a, "off_b": off_b,
+            "fs_a": fs_a, "fs_b": fs_b,
+            "npts_raw_a": npts_raw_a, "npts_raw_b": npts_raw_b,
+            "dev_ops_a": dev_ops_a, "dev_ops_b": dev_ops_b,
+            "resp_a": resp_a, "resp_b": resp_b,
+            "key": group_key,
+        })
+    return tasks
 
 
-def device_process(dataset, client, inventory=None, buffer: float = None,
-                   retry_missing: bool = False, mesh=None, verb: int = 1,
-                   timer=None, **kwargs):
-    """Correlate every unprocessed (pair, time) window with on-device
-    preprocessing. API mirrors :func:`xcorr_tpu.core.process.process`.
-
-    Multi-pair datasets are handled in full: pairs whose preprocess
-    chains, geometry and responses coincide are stacked into ONE device
-    batch (pairs x windows — measured ~1.4x over per-pair launches at
-    production size); the rest run per group.
-
-    ``timer``: optional :class:`xcorr_tpu.util.profiler.StageTimer` that
-    accumulates per-stage wall time (fetch / pipeline-build / device /
-    bookkeeping) across day-tasks; with ``verb >= 2`` and no timer given,
-    a local one is created and its report printed at the end.
-    """
-    own_timer = timer is None and verb >= 2
-    if own_timer:
-        timer = util.profiler.StageTimer()
-    if timer is None:
-        timer = util.profiler.StageTimer()  # unreported no-op sink
-    dataset.attrs["history"] = (
-        dataset.attrs.get("history", "") +
-        f", Device-process started @ {pd.to_datetime('now')}")
-
+def _dataset_geometry(dataset):
+    """Per-dataset lag/window constants shared by all its tasks."""
     pre = dataset.coords["pair"].attrs["preprocess"]
     if isinstance(pre, dict):
         operations = pre
@@ -223,78 +225,202 @@ def device_process(dataset, client, inventory=None, buffer: float = None,
 
     util.time.update_lag_indices(dataset.coords["lag"])
     lag_attrs = dataset.coords["lag"].attrs
-    npts = int(lag_attrs["npts"])
-    imin, imax = int(lag_attrs["index_min"]), int(lag_attrs["index_max"])
-    fs_out = float(lag_attrs["sampling_rate"])
+    return {
+        "operations": operations,
+        "npts": int(lag_attrs["npts"]),
+        "imin": int(lag_attrs["index_min"]),
+        "imax": int(lag_attrs["index_max"]),
+        "fs_out": float(lag_attrs["sampling_rate"]),
+        "times": pd.DatetimeIndex(dataset.coords["time"].values),
+        "window_length": float(
+            dataset.coords["time"].attrs["window_length"]),
+        "normalize": dataset["cc"].attrs.get("normalize", 1) == 1,
+    }
 
-    times = pd.DatetimeIndex(dataset.coords["time"].values)
-    window_length = float(dataset.coords["time"].attrs["window_length"])
-    buffer = window_length * 0.05 if buffer is None else buffer
-    status = dataset["status"].values
 
+def device_process_bulk(datasets, client, inventory=None,
+                        buffer: float = None, retry_missing: bool = False,
+                        mesh=None, verb: int = 1, timer=None,
+                        fetch_workers: int = None, **kwargs):
+    """Prepare and LAUNCH every unprocessed (pair, time) window of
+    several datasets (typically several days x pairs) as shared device
+    batches; defer readback/bookkeeping to the returned callable.
+
+    Returns ``(finalize, fallback)``:
+
+    * ``finalize()`` blocks on the device results, scatters them into
+      the datasets and finishes their provenance — run it from a writer
+      thread to overlap device->host readback with the next chunk's
+      fetches and device dispatches. Idempotent-safe to call once.
+    * ``fallback``: datasets whose chains are not device-compilable
+      (route them through :func:`xcorr_tpu.core.process`).
+
+    Tasks across ALL datasets with a common (chain, geometry, response)
+    key stack into one launch: 8 days x 8 windows = B=64 per dispatch at
+    the production config.
+    """
+    if timer is None:
+        timer = util.profiler.StageTimer()  # unreported no-op sink
+    if fetch_workers is None:
+        # parallel archive fetches only pay off with real cores; on a
+        # 1-core host the threads just fight the GIL (and, before the
+        # M_ARENA_MAX pin, each paid fresh-arena page faults)
+        import os
+        fetch_workers = min(4, os.cpu_count() or 1)
+
+    fallback, items = [], []
+    for dataset in datasets:
+        geo = _dataset_geometry(dataset)
+        dataset.attrs["history"] = (
+            dataset.attrs.get("history", "") +
+            f", Device-process started @ {pd.to_datetime('now')}")
+        items.append((dataset, geo))
+
+    # fetch + window preparation, threaded across (dataset, pair)
+    jobs = []
+    for dataset, geo in items:
+        buf = geo["window_length"] * 0.05 if buffer is None else buffer
+        status = dataset["status"].values
+        for ip in range(dataset.coords["pair"].values.size):
+            jobs.append((dataset, geo, buf, status, ip))
+
+    def prep(job):
+        dataset, geo, buf, status, ip = job
+        ts = _prepare_pair(dataset, ip, client, inventory,
+                           geo["operations"], geo["times"],
+                           geo["window_length"], buf, retry_missing,
+                           status, timer, kwargs)
+        for t in ts:
+            t["dataset"] = dataset
+            t["geo"] = geo
+            t["buf"] = buf
+            t["status"] = status
+        return ts
+
+    bad = set()
     tasks = []
-    for ip in range(dataset.coords["pair"].values.size):
-        t = _prepare_pair(dataset, ip, client, inventory, operations,
-                          times, window_length, buffer, retry_missing,
-                          status, timer, kwargs)
-        if t is not None:
-            tasks.append(t)
-    if not tasks:
-        _finish(dataset)
-        return dataset
+    with timer("prepare"):
+        if fetch_workers > 1 and len(jobs) > 1:
+            with ThreadPoolExecutor(max_workers=fetch_workers) as ex:
+                futs = [(job, ex.submit(prep, job)) for job in jobs]
+                for job, f in futs:
+                    try:
+                        tasks.extend(f.result())
+                    except NotImplementedError:
+                        bad.add(id(job[0]))
+        else:
+            for job in jobs:
+                try:
+                    tasks.extend(prep(job))
+                except NotImplementedError:
+                    bad.add(id(job[0]))
+    if bad:
+        fallback.extend(d for d, _ in items if id(d) in bad)
+        items = [(d, g) for d, g in items if id(d) not in bad]
+        tasks = [t for t in tasks if id(t["dataset"]) not in bad]
 
     groups = {}
     for t in tasks:
-        groups.setdefault(t["key"], []).append(t)
+        geo = t["geo"]
+        buf_out = int(round(t["buf"] * geo["fs_out"]))
+        key = t["key"] + (geo["npts"], geo["imin"], geo["imax"],
+                          geo["normalize"], buf_out)
+        t["buf_out"] = buf_out
+        groups.setdefault(key, []).append(t)
 
-    normalize = dataset["cc"].attrs.get("normalize", 1) == 1
-    # compiled chains trim the buffer at the final rate; each raw span
-    # ships to the device ONCE and windows slice out on device
-    buf_out = int(round(buffer * fs_out))
+    launches = []
     for group in groups.values():
         t0g = group[0]
+        geo = t0g["geo"]
         offsets_a = [(g, t["ia"][k]) for g, t in enumerate(group)
                      for k in t["good"]]
         offsets_b = [(g, t["ib"][k]) for g, t in enumerate(group)
                      for k in t["good"]]
+        nwin = pad_nwin(len(offsets_a), mesh)
         with timer("pipeline-build"):
             pipe = _get_pipeline(
                 t0g["dev_ops_a"], t0g["dev_ops_b"],
                 t0g["tr_a"].stats.npts, t0g["fs_a"],
                 t0g["tr_b"].stats.npts, t0g["fs_b"],
-                offsets_a, offsets_b,
-                t0g["npts_raw_a"], t0g["npts_raw_b"], npts,
-                imin, imax, normalize,
-                t0g["resp_a"], t0g["resp_b"], buf_out, mesh=mesh)
+                len(group), nwin,
+                t0g["npts_raw_a"], t0g["npts_raw_b"], geo["npts"],
+                geo["imin"], geo["imax"], geo["normalize"],
+                t0g["resp_a"], t0g["resp_b"], t0g["buf_out"], mesh=mesh)
         raw_a = np.stack([np.asarray(t["tr_a"].data, dtype=np.float32)
                           for t in group])
         raw_b = np.stack([np.asarray(t["tr_b"].data, dtype=np.float32)
                           for t in group])
         if verb:
             print(f"device_process: {len(offsets_a)} windows "
-                  f"({len(group)} pairs) from one "
+                  f"({len(group)} pair-days) from one "
                   f"{raw_a.nbytes / 1e6:.0f} MB span transfer")
         fetched = sum(t["tr_a"].data.nbytes + t["tr_b"].data.nbytes
                       for t in group)
-        with timer("device", nbytes=fetched, items=len(offsets_a)):
-            ccf = pipe(raw_a, raw_b)
+        with timer("device-dispatch", nbytes=fetched,
+                   items=len(offsets_a)):
+            ccf_dev = pipe.launch(raw_a, raw_b, offsets_a, offsets_b)
+        launches.append((group, len(offsets_a), ccf_dev))
 
-        with timer("bookkeeping"):
-            b = 0
-            for t in group:
-                ip = t["ip"]
-                for k in t["good"]:
-                    it = t["work"][k]
-                    dataset["cc"].values[ip, it] = ccf[b]
-                    b += 1
-                    status[ip, it] = 1
-                    dataset["pair_offset"].values[ip, it] = \
-                        t["off_a"][k] - t["off_b"][k]
-                    dataset["time_offset"].values[ip, it] = \
-                        (pd.Timestamp(t["off_a"][k].ns)
-                         + pd.to_timedelta(window_length / 2, unit="s")
-                         - times[it]) / pd.Timedelta("1s")
-    _finish(dataset)
+    def finalize():
+        for group, nused, ccf_dev in launches:
+            with timer("device-readback"):
+                ccf = np.asarray(ccf_dev)[:nused]
+            with timer("bookkeeping"):
+                b = 0
+                for t in group:
+                    geo = t["geo"]
+                    times = geo["times"]
+                    wl = geo["window_length"]
+                    dataset = t["dataset"]
+                    ip = t["ip"]
+                    for k in t["good"]:
+                        it = t["work"][k]
+                        dataset["cc"].values[ip, it] = ccf[b]
+                        b += 1
+                        t["status"][ip, it] = 1
+                        dataset["pair_offset"].values[ip, it] = \
+                            t["off_a"][k] - t["off_b"][k]
+                        dataset["time_offset"].values[ip, it] = \
+                            (pd.Timestamp(t["off_a"][k].ns)
+                             + pd.to_timedelta(wl / 2, unit="s")
+                             - times[it]) / pd.Timedelta("1s")
+        for dataset, _ in items:
+            _finish(dataset)
+        return [d for d, _ in items]
+
+    return finalize, fallback
+
+
+def device_process(dataset, client, inventory=None, buffer: float = None,
+                   retry_missing: bool = False, mesh=None, verb: int = 1,
+                   timer=None, **kwargs):
+    """Correlate every unprocessed (pair, time) window of ONE dataset
+    with on-device preprocessing. API mirrors
+    :func:`xcorr_tpu.core.process.process`; raises NotImplementedError
+    when the chains are not device-compilable (callers fall back to the
+    host path).
+
+    Multi-pair datasets are handled in full: pairs whose preprocess
+    chains, geometry and responses coincide are stacked into ONE device
+    batch (pairs x windows); the rest run per group. For multi-DAY
+    batching use :func:`device_process_bulk`.
+
+    ``timer``: optional :class:`xcorr_tpu.util.profiler.StageTimer` that
+    accumulates per-stage wall time (fetch / pipeline-build / device /
+    bookkeeping) across day-tasks; with ``verb >= 2`` and no timer given,
+    a local one is created and its report printed at the end.
+    """
+    own_timer = timer is None and verb >= 2
+    if own_timer:
+        timer = util.profiler.StageTimer()
+    finalize, fallback = device_process_bulk(
+        [dataset], client, inventory=inventory, buffer=buffer,
+        retry_missing=retry_missing, mesh=mesh, verb=verb, timer=timer,
+        **kwargs)
+    if fallback:
+        raise NotImplementedError(
+            "chain not device-compilable; use core.process")
+    finalize()
     if own_timer:
         print(timer.report())
     return dataset

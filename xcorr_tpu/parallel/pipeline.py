@@ -7,19 +7,27 @@ compiled preprocess chains -> batched cross-correlation, all inside ONE
 jitted step (optionally sharded over the mesh batch axis). This is the
 end-state of SURVEY.md §7 steps 3-5: where :func:`xcorr_tpu.core.process`
 still preprocesses per trace on the host (matching reference semantics
-exactly), this pipeline keeps everything after gap-filling on device.
+exactly, ``xcorr/core/process.py:82-172``), this pipeline keeps everything
+after gap-filling on device.
 
-Flow per (pair, day):
+Flow per launch (one or MANY (pair, day) tasks batched together):
 
-1. host: fetch + merge the raw buffered windows for both receivers
-   (irregular work: gaps, multi-record days);
-2. device: ``chain_a(x), chain_b(y)`` — the hashed DSL ops compiled by
+1. host: fetch + merge each receiver-day's raw span (irregular work:
+   gaps, multi-record days);
+2. device: slice the overlapping windows out of the spans (dynamic
+   slices with *traced* offsets — the per-day window offsets are runtime
+   ``i32`` arrays, NOT constants baked into the graph, so every day and
+   every process reuses ONE compiled executable and the persistent
+   compilation cache hits across workers), run ``chain_a(x), chain_b(y)``
+   — the hashed DSL ops compiled by
    :func:`xcorr_tpu.stream.compile.compile_operations` — then the
    four-step correlation with fused normalization and lag clipping;
 3. host: scatter results into the dataset / shard writer.
 """
 
 from __future__ import annotations
+
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +36,34 @@ import numpy as np
 from .. import ops
 from ..stream.compile import compile_operations
 
-__all__ = ["FusedPipeline", "SpanPipeline", "MultiSpanPipeline"]
+__all__ = ["FusedPipeline", "MultiSpanPipeline", "mesh_fingerprint",
+           "pad_nwin"]
+
+
+def mesh_fingerprint(mesh):
+    """Content-based (hashable) identity of a Mesh for cache keys.
+
+    ``id(mesh)`` made two equal meshes produce two compiled pipelines
+    (and defeated day-over-day executable reuse when callers rebuilt the
+    mesh); device ids + axis layout are the actual compilation inputs.
+    """
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def pad_nwin(nwin: int, mesh=None) -> int:
+    """Bucket a window count so day-over-day (and resume-pass) launches
+    with a missing window or two still hit the same compiled executable.
+
+    Rounds up to a multiple of 4, and of the mesh size when sharding (the
+    batch axis must divide evenly over the devices).
+    """
+    step = 4
+    if mesh is not None:
+        step = int(np.lcm(step, mesh.devices.size))
+    return max(step, -(-int(nwin) // step) * step)
 
 
 class FusedPipeline:
@@ -72,7 +107,6 @@ class FusedPipeline:
         self._pre_b = jax.jit(chain_b)
         self._normalize = normalize
         # serialize the first (compiling) call across worker threads
-        import threading
         self._compile_lock = threading.Lock()
         self._warm = False
 
@@ -96,18 +130,28 @@ class FusedPipeline:
         return np.asarray(self._step(x_raw, y_raw))
 
 
-class SpanPipeline:
-    """Like :class:`FusedPipeline`, but takes each receiver's full raw
-    span ONCE and slices the (overlapping) windows on device.
+class MultiSpanPipeline:
+    """Windowed correlation over a batch of raw spans: each receiver-day
+    span ships to the device ONCE and the (overlapping) windows slice out
+    on device.
 
     At the production 87.5% window overlap the window stack contains every
-    raw sample 8x; shipping the span instead cuts host->device transfer by
-    the same factor (the dominant cost on tunneled/PCIe-limited hosts) and
-    the windowing becomes free static slices inside the jit.
+    raw sample 8x; shipping spans instead cuts host->device transfer by
+    the same factor (the dominant cost on tunneled/PCIe-limited hosts).
+
+    The pipeline is compiled for a GEOMETRY (chains, span/window lengths,
+    rates, window count ``nwin``, span count ``nsrc``) — the per-window
+    placement is data: ``__call__`` takes ``(src, sample_offset)`` arrays
+    mapping window ``k`` to ``npts_raw`` samples starting at
+    ``sample_offset`` of span row ``src``. Multiple (pair, day) tasks
+    with a common geometry therefore batch into ONE launch of ONE shared
+    executable: B=64 measured 1.14 ms/window on v5e-1 vs 1.58 at B=8, and
+    the traced offsets mean day N+1 (and worker process N+1, via the
+    persistent compilation cache) never re-compiles.
     """
 
     def __init__(self, ops_a, ops_b, span_a, fs_a, span_b, fs_b,
-                 offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
+                 nsrc, nwin, npts_raw_a, npts_raw_b, npts,
                  index_min=None, index_max=None, normalize=True,
                  response_a=None, response_b=None, trim_offset=0,
                  mesh=None):
@@ -122,20 +166,27 @@ class SpanPipeline:
                 f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
         self.npts = npts
         self.sampling_rate = fs_out_a
-        offsets_a = tuple(int(o) for o in offsets_a)
-        offsets_b = tuple(int(o) for o in offsets_b)
+        self.nsrc = int(nsrc)
+        self.nwin = int(nwin)
+        npts_raw_a = int(npts_raw_a)
+        npts_raw_b = int(npts_raw_b)
 
         shard = None
-        if mesh is not None and len(offsets_a) % mesh.devices.size == 0:
+        if mesh is not None and self.nwin % mesh.devices.size == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P("batch", None))
 
-        def step(raw_a, raw_b):
+        def window_stack(raw, src, off, npts_raw):
+            # (nsrc, span) -> (nwin, npts_raw); src/off are traced i32
+            rows = [jax.lax.dynamic_slice(
+                raw, (src[k], off[k]), (1, npts_raw))
+                for k in range(self.nwin)]
+            return jnp.concatenate(rows, axis=0)
+
+        def step(raw_a, raw_b, src_a, off_a, src_b, off_b):
             # spans replicate; the window stack shards over the mesh
-            xa = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                raw_a, o, npts_raw_a) for o in offsets_a])
-            yb = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                raw_b, o, npts_raw_b) for o in offsets_b])
+            xa = window_stack(raw_a, src_a, off_a, npts_raw_a)
+            yb = window_stack(raw_b, src_b, off_b, npts_raw_b)
             if shard is not None:
                 xa = jax.lax.with_sharding_constraint(xa, shard)
                 yb = jax.lax.with_sharding_constraint(yb, shard)
@@ -145,89 +196,50 @@ class SpanPipeline:
                 xa, yb, normalize=normalize, index_min=index_min,
                 index_max=index_max)
 
-        import threading
         self._step = jax.jit(step)
         self._compile_lock = threading.Lock()
         self._warm = False
 
-    def __call__(self, raw_a, raw_b):
-        """raw spans (span_a,), (span_b,) float32 -> (nwin, nlag)."""
-        raw_a = jnp.asarray(raw_a)
-        raw_b = jnp.asarray(raw_b)
-        if not self._warm:
-            with self._compile_lock:
-                out = np.asarray(self._step(raw_a, raw_b))
-                self._warm = True
-                return out
-        return np.asarray(self._step(raw_a, raw_b))
-
-
-class MultiSpanPipeline:
-    """A :class:`SpanPipeline` over SEVERAL pairs' raw spans at once.
-
-    All pairs in the batch must share the preprocess chains, sampling
-    rates, span lengths and responses (enforced by the caller's grouping
-    key); their windows then stack into ONE device batch — B=64 measured
-    1.14 ms/window on v5e-1 vs 1.58 at B=8, so launching 8 pairs x 8
-    windows together is a ~1.4x end-to-end win over per-pair launches.
-
-    ``offsets_a`` / ``offsets_b`` are sequences of ``(src, sample_off)``:
-    window ``k`` slices ``npts_raw`` samples starting at ``sample_off``
-    from span row ``src`` of the stacked ``(nsrc, span)`` input.
-    """
-
-    def __init__(self, ops_a, ops_b, span_a, fs_a, span_b, fs_b,
-                 offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
-                 index_min=None, index_max=None, normalize=True,
-                 response_a=None, response_b=None, trim_offset=0,
-                 mesh=None):
-        chain_a, n_a, fs_out_a = compile_operations(
-            ops_a, npts_raw_a, fs_a, response=response_a, jit=False,
-            trim_to=npts, trim_offset=trim_offset)
-        chain_b, n_b, fs_out_b = compile_operations(
-            ops_b, npts_raw_b, fs_b, response=response_b, jit=False,
-            trim_to=npts, trim_offset=trim_offset)
-        if abs(fs_out_a - fs_out_b) > 1e-9:
+    def _offsets(self, offsets, label):
+        """(nwin_used, 2) (src, sample_off) -> padded i32 arrays."""
+        offsets = list(offsets)
+        if len(offsets) > self.nwin:
             raise ValueError(
-                f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
-        self.npts = npts
-        self.sampling_rate = fs_out_a
-        offsets_a = tuple((int(s), int(o)) for s, o in offsets_a)
-        offsets_b = tuple((int(s), int(o)) for s, o in offsets_b)
+                f"{label}: {len(offsets)} windows exceed nwin={self.nwin}")
+        pad = self.nwin - len(offsets)
+        offsets = offsets + [(0, 0)] * pad
+        src = np.asarray([s for s, _ in offsets], dtype=np.int32)
+        off = np.asarray([o for _, o in offsets], dtype=np.int32)
+        return src, off
 
-        shard = None
-        if mesh is not None and len(offsets_a) % mesh.devices.size == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            shard = NamedSharding(mesh, P("batch", None))
+    def launch(self, raw_a, raw_b, offsets_a, offsets_b):
+        """Dispatch asynchronously; returns the device array.
 
-        def step(raw_a, raw_b):
-            # (nsrc, span) spans replicate; the cross-pair window stack
-            # shards over the mesh batch axis
-            xa = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                raw_a[s], o, npts_raw_a) for s, o in offsets_a])
-            yb = jnp.stack([jax.lax.dynamic_slice_in_dim(
-                raw_b[s], o, npts_raw_b) for s, o in offsets_b])
-            if shard is not None:
-                xa = jax.lax.with_sharding_constraint(xa, shard)
-                yb = jax.lax.with_sharding_constraint(yb, shard)
-            xa = chain_a(xa)
-            yb = chain_b(yb)
-            return ops.cc.correlate(
-                xa, yb, normalize=normalize, index_min=index_min,
-                index_max=index_max)
-
-        import threading
-        self._step = jax.jit(step)
-        self._compile_lock = threading.Lock()
-        self._warm = False
-
-    def __call__(self, raw_a, raw_b):
-        """(nsrc, span_a), (nsrc, span_b) float32 -> (nwin, nlag)."""
+        ``raw_a``: (nsrc, span_a), ``raw_b``: (nsrc, span_b) float32;
+        ``offsets_a/b``: sequences of ``(src, sample_off)`` (at most
+        ``nwin``; short batches are padded with dummy windows whose
+        outputs the caller drops). Result rows follow offsets order.
+        """
+        if len(offsets_a) != len(offsets_b):
+            raise ValueError("offsets_a and offsets_b lengths differ")
         raw_a = jnp.asarray(raw_a)
         raw_b = jnp.asarray(raw_b)
+        if raw_a.shape[0] != self.nsrc or raw_b.shape[0] != self.nsrc:
+            raise ValueError(
+                f"span stacks must have nsrc={self.nsrc} rows, got "
+                f"{raw_a.shape[0]}/{raw_b.shape[0]}")
+        sa, oa = self._offsets(offsets_a, "offsets_a")
+        sb, ob = self._offsets(offsets_b, "offsets_b")
         if not self._warm:
             with self._compile_lock:
-                out = np.asarray(self._step(raw_a, raw_b))
+                out = self._step(raw_a, raw_b, sa, oa, sb, ob)
+                jax.block_until_ready(out)
                 self._warm = True
                 return out
-        return np.asarray(self._step(raw_a, raw_b))
+        return self._step(raw_a, raw_b, sa, oa, sb, ob)
+
+    def __call__(self, raw_a, raw_b, offsets_a, offsets_b):
+        """Synchronous :meth:`launch`: returns (len(offsets_a), nlag)
+        float32 on host (padding rows dropped)."""
+        out = np.asarray(self.launch(raw_a, raw_b, offsets_a, offsets_b))
+        return out[: len(offsets_a)]

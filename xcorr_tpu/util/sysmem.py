@@ -26,8 +26,18 @@ _applied = False
 
 def malloc_heap_reuse(threshold_bytes: int = 1 << 30) -> bool:
     """Route allocations below ``threshold_bytes`` through the reusable
-    glibc heap (``mallopt(M_MMAP_THRESHOLD, ...)``). Idempotent; returns
-    False (no-op) on non-glibc platforms."""
+    glibc heap (``mallopt(M_MMAP_THRESHOLD, ...)``) and pin every thread
+    to the MAIN arena (``M_ARENA_MAX = 1``). Idempotent; returns False
+    (no-op) on non-glibc platforms.
+
+    The arena pin matters as much as the threshold: glibc gives worker
+    threads their own arenas, whose pages are fresh mmaps that fault in
+    at ~16 MB/s here regardless of the threshold — a fetch or writer
+    thread allocating day-scale spans/CCF buffers paid 14 s per span
+    (measured round 3) while the warmed main thread paid 0.5 s. One
+    shared arena keeps every thread on the already-faulted heap; the
+    allocator lock it serializes on is irrelevant next to that.
+    """
     global _applied
     if _applied:
         return True
@@ -35,7 +45,9 @@ def malloc_heap_reuse(threshold_bytes: int = 1 << 30) -> bool:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         M_MMAP_THRESHOLD = -3
+        M_ARENA_MAX = -8
         ok = bool(libc.mallopt(M_MMAP_THRESHOLD, int(threshold_bytes)))
+        libc.mallopt(M_ARENA_MAX, 1)
         _applied = ok
         return ok
     except Exception:
