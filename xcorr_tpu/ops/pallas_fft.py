@@ -379,7 +379,8 @@ def plan_fused_stageb(N1: int, N2: int, N: int,
     """(fwd, inv) fused stage-B callables for the (N1, N2) geometry.
 
     fwd(Ah_re, Ah_im) -> (F_re, F_im); inv(Fx_re, Fx_im, Fy_re, Fy_im)
-    -> (C_re, C_im). All arrays (B*N1, N2) float32 with B*N1 % ROWS == 0.
+    -> (C_re, C_im). All arrays (rows, N2) float32 with rows a multiple
+    of N1 (rows = B*N1, batch-major).
     """
     _dft, _idft, _call, _call_packed, n_const = _geometry(
         N1, N2, N, precision)
@@ -409,10 +410,11 @@ def plan_fused_corr(N1: int, N2: int, N: int,
                     precision: str = "high"):
     """Whole stage-B correlation in ONE kernel launch.
 
-    corr(Ahx, Ahy) -> C, all arrays (2, N1, B, N2) float32 with re/im
-    packed on axis 0 — the NATURAL output order of the stage-A
-    dot_general, so the XLA-side producers/consumers touch each signal
-    once and insert no transpose copies. Per 8-row block: twiddle+DFT
+    corr(Ahx, Ahy) -> C, all arrays (B, 2, N1, N2) float32 with re/im
+    packed on axis 1 — the NATURAL output order of the stage-A
+    batched dot_general (b batch dim, (2*N1, N2) free dims, bitcast to
+    (B, 2, N1, N2)), so the XLA-side producers/consumers touch each
+    signal once and insert no transpose copies. Per 8-row block: twiddle+DFT
     both signals, multiply the spectra (per-bin, hence block-local),
     adjoint-DFT and conjugate-twiddle the product — the spectra live
     only in VMEM. Identical math/op-order to running plan_fused_stageb's
