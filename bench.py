@@ -121,7 +121,10 @@ def measure_reference(n, imin, imax):
 
 
 def measure_e2e(small):
-    """lazy_process(engine='device') pair-days/s including ALL IO.
+    """lazy_process(engine='device') pair-days/s including ALL IO,
+    MEASURED over a multi-day campaign with the production overlap
+    machinery engaged (multi-day batched launches + writer-thread
+    readback/write overlap), not extrapolated from one day.
 
     Synthetic SDS-free archive -> availability scan -> device window
     pipeline -> zlib netCDF shard write, the production flow of
@@ -130,11 +133,13 @@ def measure_e2e(small):
     import pandas as pd
     from xcorr_tpu import lazy_process
     from xcorr_tpu.stream import Channel, Inventory, SyntheticClient
+    from xcorr_tpu.util.profiler import StageTimer
 
     fs = 5.0 if small else 50.0
     window = 3600.0 if small else 86400.0
     overlap = 0.5 if small else 21.0 / 24.0
-    ndays = 1
+    ndays = 2 if small else 12
+    days_per_launch = 2 if small else 8
     pairs = ["IM.H03S1..EDH-IM.H03S2..EDH"]
     client = SyntheticClient(
         sampling_rate=fs,
@@ -157,37 +162,55 @@ def measure_e2e(small):
         clip_lag=(0.0, window * 0.375), inventory=inv,
         unbiased_cc=False,
     )
-    times = pd.date_range("2014-01-01", periods=ndays, freq="1D")
     with tempfile.TemporaryDirectory() as root:
-        # full batch run: availability scan + preprocess preflight +
-        # first (pair, day) task incl. chain compile (or cache hit)
+        # warmup: compile (or persistent-cache load) the pipeline on one
+        # chunk of days, plus availability scan + preprocess preflight
+        warm_days = pd.date_range("2014-01-01", periods=days_per_launch,
+                                  freq="1D")
         t0 = time.time()
-        lazy_process(pairs, times, init_args, client, inventory=inv,
+        lazy_process(pairs, warm_days, init_args, client, inventory=inv,
                      root=os.path.join(root, "warm"), engine="device",
-                     nworkers=1, verb=0)
+                     days_per_launch=days_per_launch, verb=0)
         dt_first = time.time() - t0
-        # steady state: per-task marginal cost on fresh days with warm
-        # pipelines/pages — what a year-long campaign actually pays per
-        # (pair, day) after the per-batch scans amortize away
-        from xcorr_tpu.core.lazy import single_threaded_process
-        marginal = []
-        for k in (1, 2):
-            day = times[0] + pd.Timedelta(days=k)
-            t0 = time.time()
-            single_threaded_process(
-                pairs[0], day, init_args, client, inv,
-                os.path.join(root, "run"), verb=0, engine="device")
-            marginal.append(time.time() - t0)
+
+        # measured steady state: a fresh multi-day campaign with warm
+        # executables — fetch/dispatch of chunk N+1 overlaps readback +
+        # shard writes of chunk N (1 writer thread on this host)
+        times = pd.date_range("2014-02-01", periods=ndays, freq="1D")
+        timer = StageTimer()
+        t0 = time.time()
+        results = lazy_process(
+            pairs, times, init_args, client, inventory=inv,
+            root=os.path.join(root, "run"), engine="device",
+            days_per_launch=days_per_launch, verb=0, timer=timer)
+        wall = time.time() - t0
+        assert all(results), "e2e campaign did not complete"
         pair_day = window / 86400.0
-        sec = min(marginal) / pair_day
-        return {
+        sec = wall / (ndays * pair_day)
+        stages = timer.as_dict()
+        readback = stages.get("device-readback", {}).get("wall_s", 0.0)
+        out = {
             "pair_days_per_s": round(1.0 / sec, 4),
             "seconds_per_pair_day": round(sec, 2),
+            "measured_days": ndays,
+            "days_per_launch": days_per_launch,
             "first_run_s": round(dt_first, 2),  # scans + compile/cache
             # embarrassingly parallel over (pair, day): 8 chips scale
-            # linearly (P1 batch sharding), so a pair-year projects as
+            # linearly (P1 batch sharding); measured throughput projects
             "projected_pair_year_s_v5e8": round(sec * 366 / 8, 1),
+            "stage_breakdown_s": {k: v["wall_s"]
+                                  for k, v in stages.items()},
         }
+        if not small and readback:
+            # this harness reaches the chip through a ~40 MB/s tunnel;
+            # a real TPU host moves host<->device data over PCIe (GB/s),
+            # where the measured readback wait (and the in-stage h2d
+            # share of 'device-dispatch') vanishes. Report that
+            # projection separately, from measured components.
+            sec_pcie = max(wall - readback, 0.0) / (ndays * pair_day)
+            out["projected_pair_year_s_v5e8_pcie_host"] = round(
+                sec_pcie * 366 / 8, 1)
+        return out
 
 
 def main():
