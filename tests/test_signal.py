@@ -188,6 +188,38 @@ class TestTrigger:
         periods = xs.trigger_periods(ct)
         assert len(periods) == 1
 
+    def test_similarity_threshold_gates_events(self):
+        """similarity_threshold drops coincident events whose
+        characteristic functions disagree in shape, keeps matching ones
+        (spec: xcorr/signal/trigger.py:146-150 obspy semantics)."""
+        nt = 200
+        t = pd.date_range("2015-01-01", periods=nt, freq="3h").values
+        snr_vals = np.ones((2, nt))
+        # event A: both elements rise with the SAME ramp shape
+        ramp = np.linspace(12.0, 30.0, 20)
+        snr_vals[0, 50:70] = ramp
+        snr_vals[1, 50:70] = ramp * 1.5  # scaled copy: similarity ~1
+        # event B: coincident but OPPOSITE shapes (anticorrelated)
+        snr_vals[0, 120:140] = ramp
+        snr_vals[1, 120:140] = ramp[::-1]
+        da = DataArray(snr_vals, dims=("pair", "time"),
+                       coords={"pair": np.array(["A-B", "C-D"],
+                                                dtype=object), "time": t},
+                       name="snr", attrs={"long_name": "snr",
+                                          "standard_name": "snr"})
+        da.coords["time"].attrs.update({"window_length": 86400.0,
+                                        "window_overlap": 0.875})
+        # no gate: both coincident events trigger
+        ct = xs.coincidence_trigger(da, thr_on=10.0, extend=0)
+        assert ct.attrs["nperiods"] == 2
+        # gate at 0.9: the anticorrelated event is dropped
+        ct = xs.coincidence_trigger(da, thr_on=10.0, extend=0,
+                                    similarity_threshold=0.9)
+        assert ct.attrs["nperiods"] == 1
+        vals = ct.values
+        assert np.isfinite(vals[50:70]).any()
+        assert np.isnan(vals[120:140]).all()
+
 
 class TestPeakLocalMax:
     def test_finds_injected_peaks(self):
@@ -268,6 +300,32 @@ class TestCwtLombscargle:
         out = xs.lombscargle(da, freqs=np.linspace(0.05, 2.0, 300))
         peak = out.coords["freq"].values[np.argmax(out.values[0])]
         assert abs(peak - f0) < 0.02
+
+    def test_lombscargle_scipy_oracle_nan_rows(self):
+        """Vectorized closed form == scipy per row (NaN gaps, both
+        normalizations); an all-NaN row yields NaN."""
+        import scipy.signal as sp_signal
+
+        rng = np.random.default_rng(7)
+        t = np.sort(rng.uniform(0, 50, 257))
+        rows = rng.normal(size=(6, t.size))
+        rows[0, ::3] = np.nan          # regular gaps
+        rows[1, 10:200] = np.nan       # a long hole
+        rows[2] = np.nan               # all invalid
+        freqs = np.linspace(0.07, 2.3, 111)
+        ang = 2 * np.pi * freqs
+        da = DataArray(rows, dims=("pair", "time"),
+                       coords={"time": t}, name="v")
+        for normalize in (False, True):
+            out = xs.lombscargle(da, freqs=freqs, normalize=normalize)
+            assert np.isnan(out.values[2]).all()
+            for i in (0, 1, 3, 4, 5):
+                valid = ~np.isnan(rows[i])
+                y = rows[i][valid] - rows[i][valid].mean()
+                want = sp_signal.lombscargle(t[valid], y, ang,
+                                             normalize=normalize)
+                np.testing.assert_allclose(out.values[i], want,
+                                           rtol=1e-9, atol=1e-12)
 
 
 class TestTri:

@@ -5,18 +5,73 @@ r"""
 NaN-tolerant Lomb-Scargle over an axis
 (spec: ``xcorr/signal/lombscargle.py:106-141`` =
 scipy.signal.lombscargle with per-row valid masks).
+
+The classic Lomb (1976) / Scargle (1982) estimator with the :math:`\tau`
+phase offset is a set of masked trigonometric sums, so the whole
+(rows x freqs) periodogram vectorizes into five matmuls — no per-row
+Python loop (the scipy call per row crawled at (pair x time) scale):
+
+.. math::
+
+    \tan 2\omega\tau = \frac{\sum_i m_i \sin 2\omega t_i}
+                            {\sum_i m_i \cos 2\omega t_i}
+
+with per-row masks :math:`m_i`; the numerators/denominators of the
+periodogram then follow from the masked first/second-harmonic sums via
+double-angle identities. Oracle-tested against scipy.signal.lombscargle
+row-by-row.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
-import scipy.signal as sp_signal
 
 from ..ndlabel import DataArray
 from ..util.history import historicize
 from ._helpers import get_dim
 
 __all__ = ["lombscargle"]
+
+
+@partial(jax.jit, static_argnames=("normalize",))
+def _lombscargle_rows(flat, coord, ang, normalize: bool):
+    """(R, T) rows with NaN gaps, (T,) sample times, (F,) angular
+    freqs -> (R, F) periodogram (scipy.signal.lombscargle semantics,
+    per-row masked, rows centered on their valid mean)."""
+    dt = coord.dtype
+    valid = ~jnp.isnan(flat)
+    m = valid.astype(dt)
+    n = m.sum(-1, keepdims=True)                       # (R, 1)
+    ysum = jnp.where(valid, flat, 0).astype(dt).sum(-1, keepdims=True)
+    mean = ysum / jnp.maximum(n, 1.0)
+    y = jnp.where(valid, flat.astype(dt) - mean, 0.0)
+
+    hi = jax.lax.Precision.HIGHEST
+    wt = ang[:, None] * coord[None, :]                 # (F, T)
+    c1, s1 = jnp.cos(wt), jnp.sin(wt)
+    c2 = c1 * c1 - s1 * s1                             # cos 2wt
+    s2 = 2.0 * s1 * c1                                 # sin 2wt
+    a = jnp.matmul(y, c1.T, precision=hi)              # (R, F)
+    b = jnp.matmul(y, s1.T, precision=hi)
+    cc2 = jnp.matmul(m, c2.T, precision=hi)
+    ss2 = jnp.matmul(m, s2.T, precision=hi)
+
+    two_wtau = jnp.arctan2(ss2, cc2)
+    c2t, s2t = jnp.cos(two_wtau), jnp.sin(two_wtau)
+    ct, st = jnp.cos(0.5 * two_wtau), jnp.sin(0.5 * two_wtau)
+    yc = a * ct + b * st                               # sum y cos w(t-tau)
+    ys = b * ct - a * st                               # sum y sin w(t-tau)
+    cc = 0.5 * (n + c2t * cc2 + s2t * ss2)             # sum cos^2 w(t-tau)
+    ss = 0.5 * (n - c2t * cc2 - s2t * ss2)             # sum sin^2 w(t-tau)
+    p = 0.5 * (yc * yc / cc + ys * ys / ss)
+    if normalize:
+        p = p * (2.0 / jnp.maximum((y * y).sum(-1, keepdims=True),
+                                   jnp.finfo(dt).tiny))
+    return jnp.where(n >= 2, p, jnp.nan)
 
 
 def lombscargle(x, freqs=None, nfreqs: int = 100, dim: str = None,
@@ -35,16 +90,10 @@ def lombscargle(x, freqs=None, nfreqs: int = 100, dim: str = None,
 
     order = tuple(d for d in x.dims if d != dim) + (dim,)
     data = x.transpose(*order).data
-    flat = data.reshape(-1, data.shape[-1])
-    out = np.zeros((flat.shape[0], freqs.size))
-    for i, row in enumerate(flat):
-        valid = ~np.isnan(row)
-        if valid.sum() < 2:
-            out[i] = np.nan
-            continue
-        out[i] = sp_signal.lombscargle(coord[valid],
-                                       row[valid] - row[valid].mean(),
-                                       ang, normalize=normalize)
+    flat = np.asarray(data, dtype=np.float64).reshape(-1, data.shape[-1])
+    out = np.asarray(_lombscargle_rows(
+        jnp.asarray(flat), jnp.asarray(coord), jnp.asarray(ang),
+        normalize))
     out = out.reshape(data.shape[:-1] + (freqs.size,))
 
     out_dims = tuple(d for d in order if d != dim) + ("freq",)

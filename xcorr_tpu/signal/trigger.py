@@ -72,8 +72,17 @@ def coincidence_trigger(x, thr_on: float = None, thr_off: float = None,
         raise TypeError("On threshold should be of type float.")
     if not isinstance(thr_off, float):
         raise TypeError("Off threshold should be of type float.")
-    similarity_threshold = similarity_threshold or 0.7
-    if (not isinstance(similarity_threshold, float)
+    # similarity gating is opt-in (None disables), mirroring the
+    # reference/obspy where the check only runs when templates are
+    # supplied (xcorr/signal/trigger.py:146-150). Simplification vs
+    # obspy (documented divergence): the elements' characteristic
+    # functions share one window-time grid here, so similarity is the
+    # zero-lag normalized correlation of the demeaned per-element cf
+    # segments over the candidate event, and an event survives when the
+    # BEST pair reaches the threshold.
+    similarity_gate = similarity_threshold is not None
+    if similarity_gate and (
+            not isinstance(similarity_threshold, float)
             or not 0 <= similarity_threshold <= 1):
         raise TypeError("Similarity threshold should be of type float "
                         "within (0.0-1.0).")
@@ -113,9 +122,27 @@ def coincidence_trigger(x, thr_on: float = None, thr_off: float = None,
             events[-1] = (prev[0], max(prev[1], off), prev[2] | {e})
         else:
             events.append((on, off, {e}))
+    def max_pairwise_similarity(on, off, elems):
+        """Best zero-lag normalized correlation among the triggered
+        elements' demeaned cf segments over [on, off]."""
+        i0 = int(np.searchsorted(tsec, on))
+        i1 = int(np.searchsorted(tsec, off, side="right"))
+        seg = np.nan_to_num(cfs[sorted(elems), i0:i1], nan=0.0)
+        if seg.shape[1] < 2:
+            return 1.0
+        seg = seg - seg.mean(axis=1, keepdims=True)
+        nrm = np.linalg.norm(seg, axis=1)
+        u = seg / np.where(nrm == 0, 1.0, nrm)[:, None]
+        sim = u @ u.T
+        np.fill_diagonal(sim, -np.inf)
+        return float(sim.max())
+
     trigs = [{"time": on, "duration": off - on}
              for on, off, elems in events
-             if len(elems) >= thr_coincidence_sum]
+             if len(elems) >= thr_coincidence_sum
+             and (not similarity_gate or len(elems) < 2
+                  or max_pairwise_similarity(on, off, elems)
+                  >= similarity_threshold)]
 
     # period-index array over the time coordinate
     ct_vals = np.full(tvals.shape, -1, dtype=np.int64)
