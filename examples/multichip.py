@@ -16,21 +16,19 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 import jax
 import numpy as np
 
-from xcorr_tpu.parallel import BatchEngine, make_mesh
+from xcorr_tpu.parallel import make_mesh, sharded_correlate
 
 print("devices:", jax.devices())
 mesh = make_mesh()
 
 npts = 60_000
-engine = BatchEngine(npts=npts, index_min=npts - 1,
-                     index_max=npts - 1 + 5_000, mesh=mesh)
-
 rng = np.random.default_rng(0)
 base = rng.normal(size=(24, npts)).astype(np.float32)
 lags = rng.integers(0, 2000, size=24)
 x = np.stack([np.roll(b, l) for b, l in zip(base, lags)])
 
-ccf = engine(x, base)
+ccf = sharded_correlate(x, base, mesh=mesh, index_min=npts - 1,
+                        index_max=npts - 1 + 5_000)
 recovered = ccf.argmax(axis=-1)
 print("injected lags :", lags[:8], "...")
 print("recovered lags:", recovered[:8], "...")

@@ -236,8 +236,7 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
         d = _distance_m(distance, pair) if distance is not None else None
         if d:
             _celerity_axis(ax, d, cmin, cmax,
-                           cmajor or (cmax - cmin) / 5,
-                           cminor or (cmax - cmin) / 25)
+                           cmajor or 5.0, cminor or 1.0)
         ax.set_ylabel("CCF [-]" if i == 0 else None)
         ax.tick_params(labelleft=i == 0)
         ax.set_xlim(*lag_lim)

@@ -8,11 +8,11 @@ fan-out (SURVEY.md §2.8 P1/P2).
 """
 
 from .mesh import make_mesh, batch_sharding
-from .batch import sharded_correlate, BatchEngine
+from .batch import sharded_correlate
 from .distributed import initialize, host_slice
-from .pipeline import FusedPipeline
-from .engine import device_process
+from .pipeline import FusedPipeline, MultiSpanPipeline
+from .engine import device_process, device_process_bulk
 
 __all__ = ["make_mesh", "batch_sharding", "sharded_correlate",
-           "BatchEngine", "initialize", "host_slice", "FusedPipeline",
-           "device_process"]
+           "initialize", "host_slice", "FusedPipeline",
+           "MultiSpanPipeline", "device_process", "device_process_bulk"]

@@ -1,12 +1,15 @@
 r"""
-:mod:`parallel.batch` -- Sharded batch correlation engine
+:mod:`parallel.batch` -- Sharded batch correlation helper
 =========================================================
 
-The multi-chip production path: the dense ``(batch, npts)`` waveform block
-shards over the mesh's ``batch`` axis and every device runs the same fused
-correlation kernel on its shard — no collectives needed in the forward
-pass (the workload is a pure map, SURVEY.md §2.8 P1). Host-side prefetch
-feeds per-device shards; results gather only for the host writer.
+One-shot multi-chip correlation of a dense ``(batch, npts)`` waveform
+block: the batch shards over the mesh's ``batch`` axis and every device
+runs the same fused correlation kernel on its shard — no collectives in
+the forward pass (the workload is a pure map, SURVEY.md §2.8 P1). The
+PRODUCTION multi-chip path is
+:class:`xcorr_tpu.parallel.pipeline.MultiSpanPipeline` (same sharding,
+plus on-device windowing and preprocess chains); this helper covers the
+ad-hoc "correlate this block over the mesh" case and the tests.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .. import ops
 from .mesh import make_mesh, pad_to_multiple
 
-__all__ = ["sharded_correlate", "BatchEngine"]
+__all__ = ["sharded_correlate"]
 
 
 def sharded_correlate(x, y, mesh=None, index_min: int = None,
@@ -48,40 +51,3 @@ def sharded_correlate(x, y, mesh=None, index_min: int = None,
     out = jax.jit(fn, out_shardings=NamedSharding(mesh, P("batch", None)))(
         xd, yd)
     return np.asarray(out)[:n0]
-
-
-class BatchEngine:
-    """Device-batched (pair x window) correlation with host prefetch.
-
-    Wraps a fixed (npts, lag-window) configuration into one compiled
-    executable reused across the whole archive — the multi-chip
-    counterpart of :func:`xcorr_tpu.core.process.process`.
-    """
-
-    def __init__(self, npts: int, index_min: int = None,
-                 index_max: int = None, normalize: bool = True,
-                 mesh=None, dtype=np.float32):
-        self.npts = npts
-        self.index_min = index_min
-        self.index_max = index_max
-        self.normalize = normalize
-        self.mesh = mesh or make_mesh()
-        self.dtype = dtype
-        self._sharding = NamedSharding(self.mesh, P("batch", None))
-        self._fn = jax.jit(
-            partial(ops.cc.correlate, normalize=normalize,
-                    index_min=index_min, index_max=index_max),
-            out_shardings=self._sharding)
-
-    def __call__(self, x, y):
-        ndev = self.mesh.devices.size
-        x = np.asarray(x, dtype=self.dtype)
-        y = np.asarray(y, dtype=self.dtype)
-        if x.shape[-1] != self.npts:
-            raise ValueError(
-                f"expected npts={self.npts}, got {x.shape[-1]}")
-        xp, n0 = pad_to_multiple(x, ndev, axis=0)
-        yp, _ = pad_to_multiple(y, ndev, axis=0)
-        xd = jax.device_put(xp, self._sharding)
-        yd = jax.device_put(yp, self._sharding)
-        return np.asarray(self._fn(xd, yd))[:n0]

@@ -23,13 +23,13 @@ __all__ = ["init_logging", "add_common_arguments", "add_attrs_group",
 
 
 def init_logging(debug: bool = False):
+    """Configure stdout logging (reference ``scripts/utils.py:29-47``)."""
     # keep day-scale numpy buffers on the reusable heap (measured 300x
     # faster repeated large allocations on microVM hosts; util.sysmem)
     from ..util.sysmem import (enable_persistent_compile_cache,
                                malloc_heap_reuse)
     malloc_heap_reuse()
     enable_persistent_compile_cache()
-    """Configure stdout logging (reference ``scripts/utils.py:29-47``)."""
     logging.basicConfig(
         stream=sys.stdout,
         format="%(asctime)s %(levelname)s %(message)s",

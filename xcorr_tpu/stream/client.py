@@ -147,9 +147,19 @@ class Client:
             st = self._remote_fetch(receiver, date, verb=verb)
             if st and len(st) and self._sds_write_daystream(st, verb=verb):
                 return st
-            # waterfall tier 3: VDMS (CTBTO IMS), when configured
+            # waterfall tier 3: VDMS (CTBTO IMS), when configured. A
+            # raising user transport degrades to an empty stream (the
+            # day is marked missing) instead of aborting the whole span
+            # fetch, matching xcorr/stream/client.py:775-789.
             if self.vdms.available():
-                st = self.vdms.get_waveforms(receiver, date, verb=verb)
+                try:
+                    st = self.vdms.get_waveforms(receiver, date, verb=verb)
+                except (KeyboardInterrupt, SystemExit):
+                    raise
+                except Exception as error:
+                    warnings.warn(f"VDMS fetch failed for {receiver} "
+                                  f"{date}: {error}", UserWarning)
+                    st = Stream()
                 if st and len(st) and \
                         self._sds_write_daystream(st, verb=verb):
                     return st
