@@ -85,3 +85,86 @@ def test_plot_ccfs_multi_pair_panels():
     gs = xplot.plot_ccfs(both)
     assert len(gs.figure.axes) == 2
     plt.close("all")
+
+
+def test_plot_ccf_celerity_tick_positions():
+    """Celerity ticks sit at lag = distance / c for each major c
+    (xcorr/core/plot.py:186-193)."""
+    import matplotlib.pyplot as plt
+
+    ds = make_ds()
+    ds["distance"] = (("pair",), np.array([14.6]), {"units": "km"})
+    gs = xplot.plot_ccf(ds, cmin=1460.0, cmax=1500.0, cmajor=10.0)
+    fig = gs.figure
+    fig.canvas.draw()
+    child = fig.axes[0].child_axes[0]
+    got = np.sort(np.asarray(child.get_xticks()))
+    want = np.sort(14600.0 / np.arange(1460.0, 1500.0, 10.0))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    plt.close("all")
+
+
+def test_plot_ccf_cwt_and_contourf_variants():
+    """spectrogram_cwt (scaleogram panel) and spectrogram_contourf
+    render (xcorr/core/plot.py:37-47,200-224)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.contour import QuadContourSet
+
+    ds = make_ds()
+    gs = xplot.plot_ccf(ds, spectrogram_cwt=True,
+                        spectrogram_kwargs={"fmin": 1.0, "fmax": 8.0,
+                                            "nfreqs": 16})
+    assert gs is not None
+    plt.close("all")
+    gs = xplot.plot_ccf(ds, spectrogram_contourf=True,
+                        spectrogram_kwargs={"duration": 2.0,
+                                            "padding_factor": 2})
+    ax2 = gs.figure.axes[1]
+    # filled contours present on the spectrogram panel (mpl>=3.8 keeps
+    # the QuadContourSet in ax.collections)
+    assert any(isinstance(c, QuadContourSet) for c in ax2.collections)
+    assert len(gs.figure.axes) >= 3  # incl. the colorbar axis
+    plt.close("all")
+
+
+def test_plot_ccfs_colored_snr_filter():
+    """SNR-threshold filtering drops below-threshold windows: line
+    count equals windows above threshold (xcorr/core/plot.py:403-494)."""
+    import matplotlib.pyplot as plt
+
+    ds = make_ds()
+    nt = ds.dims["time"]
+    snr_vals = np.full((1, nt), 5.0)
+    snr_vals[0, :2] = 50.0  # only 2 windows pass
+    snr = DataArray(snr_vals, dims=("pair", "time"),
+                    coords={"pair": ds.coords["pair"],
+                            "time": ds.coords["time"]}, name="snr")
+    _, ax = plt.subplots()
+    xplot.plot_ccfs_colored(ds, sn=snr, sn_threshold=10.0, ax=ax)
+    assert len(ax.lines) == 2
+    plt.close("all")
+    # no filter: every (pair, time) window drawn
+    _, ax = plt.subplots()
+    xplot.plot_ccfs_colored(ds, ax=ax)
+    assert len(ax.lines) == nt
+    plt.close("all")
+
+
+def test_accessor_plot_passthroughs():
+    """ds.xcorr exposes plot_ccfs_colored / plot_snr_ct
+    (xcorr/core/accessors.py:68-72)."""
+    import matplotlib.pyplot as plt
+
+    ds = make_ds()
+    assert ds.xcorr.plot_ccfs_colored() is not None
+    plt.close("all")
+    nt = 30
+    t = pd.date_range("2014-01-01", periods=nt, freq="3h").values
+    sds = Dataset()
+    sds.coords["pair"] = np.array(["P-Q"], dtype=object)
+    sds.coords["time"] = t
+    sds["snr"] = (("pair", "time"),
+                  np.random.default_rng(2).uniform(1, 5, (1, nt)))
+    ax = sds.xcorr.plot_snr_ct()
+    assert len(ax.lines) == 1
+    plt.close("all")

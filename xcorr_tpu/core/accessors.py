@@ -62,6 +62,17 @@ class XcorrAccessor:
         from .plot import plot_ccfs
         return plot_ccfs(self._ds, *args, **kwargs)
 
+    def plot_ccfs_colored(self, *args, **kwargs):
+        from .plot import plot_ccfs_colored
+        return plot_ccfs_colored(self._ds, *args, **kwargs)
+
+    def plot_snr_ct(self, *args, **kwargs):
+        from .plot import plot_snr_ct
+        obj = self._ds
+        if hasattr(obj, "data_vars") and "snr" in obj.data_vars:
+            obj = obj["snr"]
+        return plot_snr_ct(obj, *args, **kwargs)
+
 
 def _xcorr(self):
     return XcorrAccessor(self)

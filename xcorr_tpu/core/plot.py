@@ -68,7 +68,9 @@ def _celerity_axis(ax, d, cmin, cmax, cmajor, cminor):
 def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
              cmin: float = None, cmax: float = None, cmajor: float = None,
              cminor: float = None, lag_lim: tuple = None,
-             freq_lim: tuple = None, spectrogram_db: bool = True,
+             freq_lim: tuple = None, spectrogram_cwt: bool = False,
+             spectrogram_db: bool = True,
+             spectrogram_contourf: bool = False,
              spectrogram_kwargs: dict = None,
              spectrogram_plot_kwargs: dict = None,
              cc_plot_kwargs: dict = None, envelope: bool = False,
@@ -78,7 +80,10 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
     Reference parity (``xcorr/core/plot.py:31-251``): all time windows
     drawn as low-alpha lines, optional envelope, celerity secondary
     axis/limits from ``distance``, pair and time annotations, dB
-    spectrogram with colorbar. Returns the figure's GridSpec.
+    spectrogram with colorbar. ``spectrogram_cwt`` swaps the panel for
+    the wavelet scaleogram (``:200-201``); ``spectrogram_contourf``
+    renders filled contours instead of a pcolormesh (``:224``).
+    Returns the figure's GridSpec.
     """
     import matplotlib.pyplot as plt
     from matplotlib.gridspec import GridSpec
@@ -139,13 +144,16 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
                  str(np.asarray(cc.coords["time"].values).ravel()[0])[:19],
                  transform=ax1.transAxes, ha="right", va="top")
 
-    # spectrogram of one window
+    # spectrogram (or wavelet scaleogram) of one window
     one = cc
     if "time" in one.dims:
         one = one.isel(time=int(time))
-    spectrogram_kwargs = {"duration": 2.5, "padding_factor": 4,
-                          **(spectrogram_kwargs or {})}
-    p = one.signal.spectrogram(**spectrogram_kwargs)
+    if spectrogram_cwt:
+        p = one.signal.scaleogram(**(spectrogram_kwargs or {}))
+    else:
+        spectrogram_kwargs = {"duration": 2.5, "padding_factor": 4,
+                              **(spectrogram_kwargs or {})}
+        p = one.signal.spectrogram(**spectrogram_kwargs)
     pv = np.asarray(p.values, dtype=np.float64)
     if normalize and np.nanmax(pv):
         pv = pv / np.nanmax(pv)
@@ -158,10 +166,19 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
     if pv.shape[0] != freq.size:
         pv = pv.T
     spectrogram_plot_kwargs = {"cmap": "afmhot_r", "vmin": vmin,
-                               "vmax": vmax, "shading": "auto",
+                               "vmax": vmax,
                                **(spectrogram_plot_kwargs or {})}
-    mesh = ax2.pcolormesh(np.asarray(p.coords["lag"].values), freq, pv,
-                          **spectrogram_plot_kwargs)
+    lagv = np.asarray(p.coords["lag"].values)
+    if spectrogram_contourf:
+        spectrogram_plot_kwargs.setdefault("levels", 15)
+        spectrogram_plot_kwargs.setdefault("extend",
+                                           "both" if spectrogram_db
+                                           else "max")
+        mesh = ax2.contourf(lagv, freq, np.nan_to_num(pv, nan=vmin),
+                            **spectrogram_plot_kwargs)
+    else:
+        spectrogram_plot_kwargs.setdefault("shading", "auto")
+        mesh = ax2.pcolormesh(lagv, freq, pv, **spectrogram_plot_kwargs)
     ax2.set_xlim(*lag_lim)
     if freq_lim:
         ax2.set_ylim(*freq_lim)
