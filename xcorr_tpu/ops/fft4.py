@@ -391,48 +391,71 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
     # einsum over the packed axis: [0] = Wi_re, [1] = -Wi_im
     Wicat = np.stack([Wi.real, -Wi.imag])      # (2, rows_out, half)
     rows_out = Wicat.shape[1]
-    # batched-dot forms: with the batch dim b on BOTH operands (the
-    # constant broadcast over b), dot_general's natural output order is
-    # (b, lhs free, rhs free) — exactly the kernel's packed
-    # (B, 2*half, N2) layout for stage A and the final (B, rows, N2)
-    # for the inverse. The one-einsum-per-signal "pkr,brj->bpkj" form
-    # instead materialized a full-plane transpose copy per signal
-    # (~0.8 ms/plane at B=16, measured): dot_general's native order is
-    # (lhs free, rhs free) = pkbj, and XLA inserts the relayout. The
-    # broadcast constant costs only its own read (~46 MB at B=80 vs
-    # ~2.9 GB of transpose traffic).
+    # XCORR_FFT4_EINSUM='batched' selects batch-dim dot_generals: with
+    # the constants broadcast over b, the natural output order
+    # (b, lhs free, rhs free) matches the kernel's packed layout with
+    # no transpose copies. Same-session A/B (v5e-1, round 3): +2.5% at
+    # B=16 (19.96 vs 20.48 ms), a wash at B=80 (82.8 vs 82.6) — XLA
+    # overlaps the legacy form's relayout copies at large B — and the
+    # batched dot COMPILES pathologically at B>=64 (~40 min through the
+    # AOT tunnel vs 160 s legacy, observed twice). Legacy is therefore
+    # the default; the batched form is kept for future A/B.
     W1flat = W1cat.reshape(2 * half, rows_in)
     Wiflat = Wicat.transpose(1, 0, 2).reshape(rows_out, 2 * half)
     segs_flat = p["segs_flat"]
     corr2 = plan_fused_corr(half, N2, N, precision)
     prec = _precision(precision)
+    import os
+    batched = os.environ.get("XCORR_FFT4_EINSUM", "legacy") == "batched"
 
-    def stage_a(v, w1b):
-        B = v.shape[0]
-        pad = rows_in * N2 - n
-        A = jnp.pad(v, ((0, 0), (0, pad))).reshape(B, rows_in, N2)
-        out = _einsum("bpr,brj->bpj", w1b, A, prec)
-        return out.reshape(B, 2, half, N2)
+    if batched:
+        def stage_a(v, w1b):
+            B = v.shape[0]
+            pad = rows_in * N2 - n
+            A = jnp.pad(v, ((0, 0), (0, pad))).reshape(B, rows_in, N2)
+            out = _einsum("bpr,brj->bpj", w1b, A, prec)
+            return out.reshape(B, 2, half, N2)
 
-    @jax.jit
-    def corr(x, y):
-        B = x.shape[0]
-        w1b = jnp.broadcast_to(
-            jnp.asarray(W1flat.astype(np.float32))[None],
-            (B, 2 * half, rows_in))
-        wib = jnp.broadcast_to(
-            jnp.asarray(Wiflat.astype(np.float32))[None],
-            (B, rows_out, 2 * half))
-        ccat = corr2(stage_a(x, w1b), stage_a(y, w1b))
-        out = _einsum("brq,bqj->brj", wib,
-                      ccat.reshape(B, 2 * half, N2), prec)
-        r = _take_lag_window(out.reshape(B, -1), segs_flat)
-        if normalize:
-            nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
-            ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
-            denom = nx * ny
-            r = r / jnp.where(denom == 0, 1.0, denom)
-        return r.astype(x.dtype)
+        @jax.jit
+        def corr(x, y):
+            B = x.shape[0]
+            w1b = jnp.broadcast_to(
+                jnp.asarray(W1flat.astype(np.float32))[None],
+                (B, 2 * half, rows_in))
+            wib = jnp.broadcast_to(
+                jnp.asarray(Wiflat.astype(np.float32))[None],
+                (B, rows_out, 2 * half))
+            ccat = corr2(stage_a(x, w1b), stage_a(y, w1b))
+            out = _einsum("brq,bqj->brj", wib,
+                          ccat.reshape(B, 2 * half, N2), prec)
+            r = _take_lag_window(out.reshape(B, -1), segs_flat)
+            if normalize:
+                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+                denom = nx * ny
+                r = r / jnp.where(denom == 0, 1.0, denom)
+            return r.astype(x.dtype)
+    else:  # legacy one-einsum-per-signal forms (A/B reference)
+        def stage_a(v, w1cat):
+            pad = rows_in * N2 - n
+            A = jnp.pad(v, ((0, 0), (0, pad))).reshape(
+                v.shape[0], rows_in, N2)
+            return _einsum("pkr,brj->bpkj", w1cat, A, prec)
+
+        @jax.jit
+        def corr(x, y):
+            w1 = jnp.asarray(W1cat.astype(np.float32))
+            wi = jnp.asarray(Wicat.astype(np.float32))
+            B = x.shape[0]
+            ccat = corr2(stage_a(x, w1), stage_a(y, w1))
+            out = _einsum("prk,bpkj->brj", wi, ccat, prec)
+            r = _take_lag_window(out.reshape(B, -1), segs_flat)
+            if normalize:
+                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+                denom = nx * ny
+                r = r / jnp.where(denom == 0, 1.0, denom)
+            return r.astype(x.dtype)
 
     return corr
 
