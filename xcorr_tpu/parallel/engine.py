@@ -63,11 +63,15 @@ def _response_key(resp):
             resp.gain, resp.sensitivity, resp.input_units)
 
 
-def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b, nsrc, nwin,
+def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
+                  offsets_a, offsets_b,
                   npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
                   resp_a, resp_b, buf_out, mesh=None):
+    # offsets are CANONICAL (span re-based at window 0), so the key —
+    # and the compiled executable, in-process and in the persistent
+    # cache — repeats day-over-day and across worker processes
     key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
-           span_b, fs_b, int(nsrc), int(nwin),
+           span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
            npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
            _response_key(resp_a), _response_key(resp_b), buf_out,
            mesh_fingerprint(mesh))
@@ -75,7 +79,8 @@ def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b, nsrc, nwin,
         pipe = _pipeline_cache.get(key)
         if pipe is None:
             pipe = MultiSpanPipeline(
-                ops_a, ops_b, span_a, fs_a, span_b, fs_b, nsrc, nwin,
+                ops_a, ops_b, span_a, fs_a, span_b, fs_b,
+                offsets_a, offsets_b,
                 npts_raw_a, npts_raw_b, npts,
                 index_min=imin, index_max=imax, normalize=normalize,
                 response_a=resp_a, response_b=resp_b,
@@ -193,16 +198,35 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
               _response_key(resp_pairs[k][1]))
         epochs.setdefault(rk, []).append(k)
 
+    def canonicalize(tr, idx, subset, npts_raw):
+        """Re-base the span at the subset's first window: the device
+        sees data[base : base+need] and the offsets become the pure
+        window grid (identical across days/processes -> the static
+        slice executable and the persistent compile cache both hit)."""
+        base = min(idx[k] for k in subset)
+        need = max(idx[k] for k in subset) + npts_raw - base
+        data = np.asarray(tr.data[base:base + need], dtype=np.float32)
+        rel = {k: idx[k] - base for k in subset}
+        return data, rel, need
+
     tasks = []
     for rk, subset in epochs.items():
         resp_a, resp_b = resp_pairs[subset[0]]
+        data_a, rel_a, need_a = canonicalize(tr_a, ia, subset,
+                                             npts_raw_a)
+        data_b, rel_b, need_b = canonicalize(tr_b, ib, subset,
+                                             npts_raw_b)
         # tasks sharing this key run through ONE compiled chain + batch
         group_key = (json.dumps(dev_ops_a), json.dumps(dev_ops_b),
-                     tr_a.stats.npts, fs_a, tr_b.stats.npts, fs_b,
-                     npts_raw_a, npts_raw_b, rk)
+                     need_a, fs_a, need_b, fs_b,
+                     npts_raw_a, npts_raw_b,
+                     tuple(rel_a[k] for k in subset),
+                     tuple(rel_b[k] for k in subset), rk)
         tasks.append({
             "ip": ip, "work": work, "good": subset,
-            "tr_a": tr_a, "tr_b": tr_b, "ia": ia, "ib": ib,
+            "data_a": data_a, "data_b": data_b,
+            "rel_a": rel_a, "rel_b": rel_b,
+            "need_a": need_a, "need_b": need_b,
             "off_a": off_a, "off_b": off_b,
             "fs_a": fs_a, "fs_b": fs_b,
             "npts_raw_a": npts_raw_a, "npts_raw_b": npts_raw_b,
@@ -332,34 +356,35 @@ def device_process_bulk(datasets, client, inventory=None,
     for group in groups.values():
         t0g = group[0]
         geo = t0g["geo"]
-        offsets_a = [(g, t["ia"][k]) for g, t in enumerate(group)
+        offsets_a = [(g, t["rel_a"][k]) for g, t in enumerate(group)
                      for k in t["good"]]
-        offsets_b = [(g, t["ib"][k]) for g, t in enumerate(group)
+        offsets_b = [(g, t["rel_b"][k]) for g, t in enumerate(group)
                      for k in t["good"]]
-        nwin = pad_nwin(len(offsets_a), mesh)
+        nused = len(offsets_a)
+        # static dummy windows pad the batch to a bucket so a missing
+        # window here or there still hits the same executable
+        pad = pad_nwin(nused, mesh) - nused
+        offsets_a = tuple(offsets_a + [(0, 0)] * pad)
+        offsets_b = tuple(offsets_b + [(0, 0)] * pad)
         with timer("pipeline-build"):
             pipe = _get_pipeline(
                 t0g["dev_ops_a"], t0g["dev_ops_b"],
-                t0g["tr_a"].stats.npts, t0g["fs_a"],
-                t0g["tr_b"].stats.npts, t0g["fs_b"],
-                len(group), nwin,
+                t0g["need_a"], t0g["fs_a"],
+                t0g["need_b"], t0g["fs_b"],
+                offsets_a, offsets_b,
                 t0g["npts_raw_a"], t0g["npts_raw_b"], geo["npts"],
                 geo["imin"], geo["imax"], geo["normalize"],
                 t0g["resp_a"], t0g["resp_b"], t0g["buf_out"], mesh=mesh)
-        raw_a = np.stack([np.asarray(t["tr_a"].data, dtype=np.float32)
-                          for t in group])
-        raw_b = np.stack([np.asarray(t["tr_b"].data, dtype=np.float32)
-                          for t in group])
+        raw_a = np.stack([t["data_a"] for t in group])
+        raw_b = np.stack([t["data_b"] for t in group])
         if verb:
-            print(f"device_process: {len(offsets_a)} windows "
+            print(f"device_process: {nused} windows "
                   f"({len(group)} pair-days) from one "
                   f"{raw_a.nbytes / 1e6:.0f} MB span transfer")
-        fetched = sum(t["tr_a"].data.nbytes + t["tr_b"].data.nbytes
-                      for t in group)
-        with timer("device-dispatch", nbytes=fetched,
-                   items=len(offsets_a)):
-            ccf_dev = pipe.launch(raw_a, raw_b, offsets_a, offsets_b)
-        launches.append((group, len(offsets_a), ccf_dev))
+        fetched = raw_a.nbytes + raw_b.nbytes
+        with timer("device-dispatch", nbytes=fetched, items=nused):
+            ccf_dev = pipe.launch(raw_a, raw_b)
+        launches.append((group, nused, ccf_dev))
 
     def finalize():
         for group, nused, ccf_dev in launches:

@@ -14,12 +14,12 @@ Flow per launch (one or MANY (pair, day) tasks batched together):
 
 1. host: fetch + merge each receiver-day's raw span (irregular work:
    gaps, multi-record days);
-2. device: slice the overlapping windows out of the spans (dynamic
-   slices with *traced* offsets — the per-day window offsets are runtime
-   ``i32`` arrays, NOT constants baked into the graph, so every day and
-   every process reuses ONE compiled executable and the persistent
-   compilation cache hits across workers), run ``chain_a(x), chain_b(y)``
-   — the hashed DSL ops compiled by
+2. device: slice the overlapping windows out of the spans (static
+   slices inside the jit; the engine re-bases each span at its first
+   window so the offset grid is canonical — identical across days and
+   worker processes — and ONE compiled executable serves them all, with
+   the persistent compilation cache hitting across workers), run
+   ``chain_a(x), chain_b(y)`` — the hashed DSL ops compiled by
    :func:`xcorr_tpu.stream.compile.compile_operations` — then the
    four-step correlation with fused normalization and lag clipping;
 3. host: scatter results into the dataset / shard writer.
@@ -139,19 +139,25 @@ class MultiSpanPipeline:
     raw sample 8x; shipping spans instead cuts host->device transfer by
     the same factor (the dominant cost on tunneled/PCIe-limited hosts).
 
-    The pipeline is compiled for a GEOMETRY (chains, span/window lengths,
-    rates, window count ``nwin``, span count ``nsrc``) — the per-window
-    placement is data: ``__call__`` takes ``(src, sample_offset)`` arrays
-    mapping window ``k`` to ``npts_raw`` samples starting at
-    ``sample_offset`` of span row ``src``. Multiple (pair, day) tasks
-    with a common geometry therefore batch into ONE launch of ONE shared
-    executable: B=64 measured 1.14 ms/window on v5e-1 vs 1.58 at B=8, and
-    the traced offsets mean day N+1 (and worker process N+1, via the
-    persistent compilation cache) never re-compiles.
+    ``offsets_a`` / ``offsets_b`` are sequences of ``(src, sample_off)``:
+    window ``k`` slices ``npts_raw`` samples starting at ``sample_off``
+    from span row ``src`` of the stacked ``(nsrc, span)`` input. The
+    offsets are STATIC (baked into the jit as constant-start slices —
+    a traced-offset variant was tried and abandoned: XLA's buffer
+    assignment for runtime-start dynamic slices from a day-scale span
+    exploded to 144 GB of HBM at B=64). Executable reuse across days
+    and worker processes comes from the CALLER canonicalizing spans so
+    the offset grid repeats day-over-day (the engine re-bases each
+    fetched span at its first window, making offsets the pure
+    arithmetic window grid).
+
+    Multiple (pair, day) tasks with a common geometry batch into ONE
+    launch of one executable: B=64 measured 1.14 ms/window on v5e-1 vs
+    1.58 at B=8.
     """
 
     def __init__(self, ops_a, ops_b, span_a, fs_a, span_b, fs_b,
-                 nsrc, nwin, npts_raw_a, npts_raw_b, npts,
+                 offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                  index_min=None, index_max=None, normalize=True,
                  response_a=None, response_b=None, trim_offset=0,
                  mesh=None):
@@ -166,8 +172,11 @@ class MultiSpanPipeline:
                 f"chains produce different rates: {fs_out_a} vs {fs_out_b}")
         self.npts = npts
         self.sampling_rate = fs_out_a
-        self.nsrc = int(nsrc)
-        self.nwin = int(nwin)
+        offsets_a = tuple((int(s), int(o)) for s, o in offsets_a)
+        offsets_b = tuple((int(s), int(o)) for s, o in offsets_b)
+        if len(offsets_a) != len(offsets_b):
+            raise ValueError("offsets_a and offsets_b lengths differ")
+        self.nwin = len(offsets_a)
         npts_raw_a = int(npts_raw_a)
         npts_raw_b = int(npts_raw_b)
 
@@ -176,17 +185,13 @@ class MultiSpanPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P("batch", None))
 
-        def window_stack(raw, src, off, npts_raw):
-            # (nsrc, span) -> (nwin, npts_raw); src/off are traced i32
-            rows = [jax.lax.dynamic_slice(
-                raw, (src[k], off[k]), (1, npts_raw))
-                for k in range(self.nwin)]
-            return jnp.concatenate(rows, axis=0)
-
-        def step(raw_a, raw_b, src_a, off_a, src_b, off_b):
-            # spans replicate; the window stack shards over the mesh
-            xa = window_stack(raw_a, src_a, off_a, npts_raw_a)
-            yb = window_stack(raw_b, src_b, off_b, npts_raw_b)
+        def step(raw_a, raw_b):
+            # (nsrc, span) spans replicate; the cross-task window stack
+            # shards over the mesh batch axis
+            xa = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                raw_a[s], o, npts_raw_a) for s, o in offsets_a])
+            yb = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                raw_b[s], o, npts_raw_b) for s, o in offsets_b])
             if shard is not None:
                 xa = jax.lax.with_sharding_constraint(xa, shard)
                 yb = jax.lax.with_sharding_constraint(yb, shard)
@@ -200,46 +205,20 @@ class MultiSpanPipeline:
         self._compile_lock = threading.Lock()
         self._warm = False
 
-    def _offsets(self, offsets, label):
-        """(nwin_used, 2) (src, sample_off) -> padded i32 arrays."""
-        offsets = list(offsets)
-        if len(offsets) > self.nwin:
-            raise ValueError(
-                f"{label}: {len(offsets)} windows exceed nwin={self.nwin}")
-        pad = self.nwin - len(offsets)
-        offsets = offsets + [(0, 0)] * pad
-        src = np.asarray([s for s, _ in offsets], dtype=np.int32)
-        off = np.asarray([o for _, o in offsets], dtype=np.int32)
-        return src, off
-
-    def launch(self, raw_a, raw_b, offsets_a, offsets_b):
-        """Dispatch asynchronously; returns the device array.
-
-        ``raw_a``: (nsrc, span_a), ``raw_b``: (nsrc, span_b) float32;
-        ``offsets_a/b``: sequences of ``(src, sample_off)`` (at most
-        ``nwin``; short batches are padded with dummy windows whose
-        outputs the caller drops). Result rows follow offsets order.
-        """
-        if len(offsets_a) != len(offsets_b):
-            raise ValueError("offsets_a and offsets_b lengths differ")
+    def launch(self, raw_a, raw_b):
+        """Dispatch asynchronously; returns the (nwin, nlag) device
+        array. ``raw_a``: (nsrc, span_a), ``raw_b``: (nsrc, span_b)
+        float32."""
         raw_a = jnp.asarray(raw_a)
         raw_b = jnp.asarray(raw_b)
-        if raw_a.shape[0] != self.nsrc or raw_b.shape[0] != self.nsrc:
-            raise ValueError(
-                f"span stacks must have nsrc={self.nsrc} rows, got "
-                f"{raw_a.shape[0]}/{raw_b.shape[0]}")
-        sa, oa = self._offsets(offsets_a, "offsets_a")
-        sb, ob = self._offsets(offsets_b, "offsets_b")
         if not self._warm:
             with self._compile_lock:
-                out = self._step(raw_a, raw_b, sa, oa, sb, ob)
+                out = self._step(raw_a, raw_b)
                 jax.block_until_ready(out)
                 self._warm = True
                 return out
-        return self._step(raw_a, raw_b, sa, oa, sb, ob)
+        return self._step(raw_a, raw_b)
 
-    def __call__(self, raw_a, raw_b, offsets_a, offsets_b):
-        """Synchronous :meth:`launch`: returns (len(offsets_a), nlag)
-        float32 on host (padding rows dropped)."""
-        out = np.asarray(self.launch(raw_a, raw_b, offsets_a, offsets_b))
-        return out[: len(offsets_a)]
+    def __call__(self, raw_a, raw_b):
+        """Synchronous :meth:`launch` returning a host array."""
+        return np.asarray(self.launch(raw_a, raw_b))
