@@ -265,7 +265,8 @@ def _dataset_geometry(dataset):
 def device_process_bulk(datasets, client, inventory=None,
                         buffer: float = None, retry_missing: bool = False,
                         mesh=None, verb: int = 1, timer=None,
-                        fetch_workers: int = None, **kwargs):
+                        fetch_workers: int = None,
+                        max_windows_per_launch: int = 32, **kwargs):
     """Prepare and LAUNCH every unprocessed (pair, time) window of
     several datasets (typically several days x pairs) as shared device
     batches; defer readback/bookkeeping to the returned callable.
@@ -352,8 +353,28 @@ def device_process_bulk(datasets, client, inventory=None,
         t["buf_out"] = buf_out
         groups.setdefault(key, []).append(t)
 
-    launches = []
+    # day-scale HBM budget: a single launch of the whole multi-day
+    # batch (64+ windows) oversubscribes the 16 GB chip (stacks + chain
+    # intermediates + the CC kernel's working set) and the runtime
+    # thrashes — measured 30 s/day vs ~2 s at bounded sizes. The kernel
+    # B-sweep saturates by ~32 windows anyway, so pack each group into
+    # launches of at most ``max_windows_per_launch`` windows; packs of
+    # equal shape share one executable (canonical offsets).
+    packs = []
     for group in groups.values():
+        pack, nwin = [], 0
+        for t in group:
+            w = len(t["good"])
+            if pack and nwin + w > max_windows_per_launch:
+                packs.append(pack)
+                pack, nwin = [], 0
+            pack.append(t)
+            nwin += w
+        if pack:
+            packs.append(pack)
+
+    launches = []
+    for group in packs:
         t0g = group[0]
         geo = t0g["geo"]
         offsets_a = [(g, t["rel_a"][k]) for g, t in enumerate(group)
