@@ -291,6 +291,50 @@ class TestFourStep:
             pallas_fft.plan_fused_corr.cache_clear()
             fft4.plan_correlate4.cache_clear()
 
+    def test_pallas_fused_inverse_interpret(self, monkeypatch):
+        """XCORR_FFT4_FUSED_INV=1 (pruned inverse folded into the
+        kernel as cross-block accumulation) must match the two-stage
+        path exactly (interpret mode on CPU)."""
+        from jax.experimental import pallas as pl
+        from xcorr_tpu.ops import fft4, pallas_fft
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        try:
+            rng = np.random.default_rng(4)
+            n, imin, imax = 2000, 1999, 3000
+            x = rng.normal(size=(2, n)).astype(np.float32)
+            y = rng.normal(size=(2, n)).astype(np.float32)
+            want = np.asarray(ops.cc.correlate(
+                jnp.asarray(x), jnp.asarray(y), index_min=imin,
+                index_max=imax))
+            for n1, precision in ((16, "highest"), (32, "highest"),
+                                  (32, "high")):
+                for flag in ("0", "1"):
+                    monkeypatch.setenv("XCORR_FFT4_FUSED_INV", flag)
+                    pallas_fft.plan_fused_corr.cache_clear()
+                    pallas_fft.plan_fused_corr_acc.cache_clear()
+                    fft4.plan_correlate4.cache_clear()
+                    fn = fft4.plan_correlate4(n, imin, imax, n1=n1,
+                                              stageb="pallas",
+                                              precision=precision)
+                    got = np.asarray(fn(x, y))
+                    atol = 5e-7 if precision == "highest" else 2e-6
+                    np.testing.assert_allclose(
+                        got, want, atol=atol,
+                        err_msg=f"n1={n1} prec={precision} "
+                                f"fused={flag}")
+        finally:
+            pl.pallas_call = orig
+            pallas_fft.plan_fused_stageb.cache_clear()
+            pallas_fft.plan_fused_corr.cache_clear()
+            pallas_fft.plan_fused_corr_acc.cache_clear()
+            fft4.plan_correlate4.cache_clear()
+
 
 class TestFourStepPlan:
     """Host-side invariants of the four-step plan geometry."""

@@ -436,6 +436,21 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
                 r = r / jnp.where(denom == 0, 1.0, denom)
             return r.astype(x.dtype)
     else:  # legacy one-einsum-per-signal forms (A/B reference)
+        # XCORR_FFT4_FUSED_INV=1 folds the pruned inverse einsum INTO
+        # the Pallas kernel as cross-block accumulation (the full
+        # (N1, N2) correlation plane never reaches HBM; see
+        # plan_fused_corr_acc). Gated on the accumulator block fitting
+        # VMEM — falls back to the two-stage form otherwise.
+        from .pallas_fft import plan_fused_corr_acc
+        rows_out_pad = -(-rows_out // ROWS) * ROWS
+        fuse_inv = (os.environ.get("XCORR_FFT4_FUSED_INV", "0") == "1"
+                    and rows_out_pad * N2 * 4 <= (8 << 20))
+        if fuse_inv:
+            corr_acc = plan_fused_corr_acc(half, N2, N, rows_out_pad,
+                                           precision)
+            WiT = np.zeros((2, rows_out_pad, half), dtype=np.float32)
+            WiT[:, :rows_out] = Wicat.astype(np.float32)
+
         def stage_a(v, w1cat):
             pad = rows_in * N2 - n
             A = jnp.pad(v, ((0, 0), (0, pad))).reshape(
@@ -445,10 +460,15 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         @jax.jit
         def corr(x, y):
             w1 = jnp.asarray(W1cat.astype(np.float32))
-            wi = jnp.asarray(Wicat.astype(np.float32))
             B = x.shape[0]
-            ccat = corr2(stage_a(x, w1), stage_a(y, w1))
-            out = _einsum("prk,bpkj->brj", wi, ccat, prec)
+            if fuse_inv:
+                acc = corr_acc(stage_a(x, w1), stage_a(y, w1),
+                               jnp.asarray(WiT))
+                out = acc[:, :rows_out]
+            else:
+                wi = jnp.asarray(Wicat.astype(np.float32))
+                ccat = corr2(stage_a(x, w1), stage_a(y, w1))
+                out = _einsum("prk,bpkj->brj", wi, ccat, prec)
             r = _take_lag_window(out.reshape(B, -1), segs_flat)
             if normalize:
                 nx = jnp.linalg.norm(x, axis=-1, keepdims=True)

@@ -441,6 +441,123 @@ def plan_fused_corr(N1: int, N2: int, N: int,
     return _call_packed(corr_kernel, 2)
 
 
+@lru_cache(maxsize=8)
+def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
+                        precision: str = "high"):
+    """:func:`plan_fused_corr` with the PRUNED INVERSE DFT folded in as
+    cross-block accumulation — the full four-step correlation becomes
+    one kernel whose only HBM outputs are the ``rows_out_pad`` pruned
+    rows.
+
+    Grid is (B, N1/ROWS) with the k1-block sweep INNERMOST: the output
+    block (one batch element's pruned rows) stays VMEM-resident across
+    the whole sweep and accumulates ``Wi[:, k1-block] @ C(k1-block)``
+    per step; nothing of the full (N1, N2) correlation plane ever
+    reaches HBM. Compared to plan_fused_corr + the XLA inverse einsum
+    this removes the 2-plane C write + 2-plane read (~5.7 GB/batch at
+    B=80) at the cost of re-fetching the outer twiddle per batch
+    element (~2.85 GB — the k1-inner order changes T every step).
+
+    corr(Ahx, Ahy, WiT) -> (B, rows_out_pad, N2) float32, where
+    Ahx/Ahy are the packed (B, 2, N1, N2) stage-A outputs and WiT is
+    the (2, rows_out_pad, N1) folded inverse constant ([0] applies to
+    Re(C), [1] to Im(C)). VMEM-bounded: requires
+    rows_out_pad * N2 * 4 bytes to fit the accumulator (callers gate on
+    this and fall back to the unfused path).
+    """
+    _dft, _idft, _, _, n_const = _geometry(N1, N2, N, precision)
+    P, Q = _split_pq_pallas(N2)
+    nb_t = N1 // ROWS
+    if rows_out_pad % ROWS:
+        raise ValueError(f"rows_out_pad={rows_out_pad} not a multiple "
+                         f"of {ROWS}")
+
+    # rebuild the (grid-order-specific) specs: grid dims are (b, i)
+    pdata_spec = pl.BlockSpec((1, 2, ROWS, N2),
+                              lambda b, i: (b, 0, i, 0),
+                              memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((ROWS, N2), lambda b, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    wi_spec = pl.BlockSpec((2, rows_out_pad, ROWS),
+                           lambda b, i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, rows_out_pad, N2),
+                            lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    k1 = np.arange(N1)
+    T = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / N)
+    WP = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(P)) / P)
+    WQ = np.exp(-2j * np.pi * np.outer(np.arange(Q), np.arange(Q)) / Q)
+    T2 = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(Q)) / N2)
+    T2T = T2.T.copy()
+    f32 = np.float32
+    consts = [T.real.astype(f32), T.imag.astype(f32),
+              WP.real.astype(f32), WP.imag.astype(f32),
+              WQ.real.astype(f32), WQ.imag.astype(f32),
+              T2.real.astype(f32), T2.imag.astype(f32),
+              T2T.real.astype(f32), T2T.imag.astype(f32)]
+    const_specs = [t_spec, t_spec] + [
+        pl.BlockSpec(a.shape, lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM) for a in consts[2:]]
+    prec = "high3" if precision in ("high", "high3", "high_block") \
+        else _PRECISIONS[precision]
+    dn_acc = (((1,), (0,)), ((), ()))  # (M, 2R) x (2R, N2)
+
+    def kernel(ax, ay, wi, t_re, t_im, *refs):
+        cs = [r[...] for r in refs[:n_const]]
+        out = refs[n_const]
+        tr, ti = t_re[...], t_im[...]
+        ar, ai = _cmul(ax[0, 0], ax[0, 1], tr, ti)
+        fxr, fxi = _dft(ar, ai, cs)
+        br, bi = _cmul(ay[0, 0], ay[0, 1], tr, ti)
+        fyr, fyi = _dft(br, bi, cs)
+        sr, si = _cmul(fxr, fxi, fyr, -fyi)
+        hr, hi = _idft(sr, si, cs)
+        cr, ci = _cmul(hr, hi, tr, -ti)
+        wiv = wi[...]
+        lhs = jnp.concatenate([wiv[0], wiv[1]], axis=1)  # (M, 2R)
+        rhs = jnp.concatenate([cr, ci], axis=0)          # (2R, N2)
+        if prec == "high3":
+            contrib = _dot3(lhs, rhs, dn_acc)
+        else:
+            contrib = jax.lax.dot_general(
+                lhs, rhs, dn_acc, preferred_element_type=jnp.float32,
+                precision=prec)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            out[0] = contrib
+
+        @pl.when(i != 0)
+        def _acc():
+            out[0] = out[0] + contrib
+
+    def run(ax, ay, wicat):
+        B = ax.shape[0]
+        for a in (ax, ay):
+            if a.shape != (B, 2, N1, N2):
+                raise ValueError(
+                    f"packed input must be (B, 2, {N1}, {N2}), got "
+                    f"{a.shape}")
+        if wicat.shape != (2, rows_out_pad, N1):
+            raise ValueError(
+                f"WiT must be (2, {rows_out_pad}, {N1}), got "
+                f"{wicat.shape}")
+        out_shape = jax.ShapeDtypeStruct((B, rows_out_pad, N2),
+                                         jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nb_t),
+            in_specs=[pdata_spec, pdata_spec, wi_spec] + const_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(ax, ay, wicat, *consts)
+
+    return run
+
+
 def fused_available() -> bool:
     """Whether the fused kernels can run on this backend."""
     try:
