@@ -81,9 +81,15 @@ def measure_device(n, B, imin, imax, iters=10, repeats=5):
     import jax.numpy as jnp
     from xcorr_tpu import ops
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    # generate inputs ON DEVICE: host-side generation of the B=80 day
+    # arrays (2 x 1.4 GB) pays GB-scale first-touch page faults on this
+    # microVM (minutes, intermittent) plus a ~70 s tunnel transfer —
+    # none of which belongs in a kernel benchmark (timing is
+    # value-independent)
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(kx)
+    y = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(ky)
+    x.block_until_ready(), y.block_until_ready()
 
     @jax.jit
     def loop(x, y):

@@ -448,8 +448,12 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
         if fuse_inv:
             corr_acc = plan_fused_corr_acc(half, N2, N, rows_out_pad,
                                            precision)
-            WiT = np.zeros((2, rows_out_pad, half), dtype=np.float32)
-            WiT[:, :rows_out] = Wicat.astype(np.float32)
+            # (2, k1, rows_out_pad): k1 on the sublane axis (Mosaic
+            # cannot lane-block the ROWS=8 k1 sweep; see
+            # plan_fused_corr_acc)
+            WiT = np.zeros((2, half, rows_out_pad), dtype=np.float32)
+            WiT[:, :, :rows_out] = \
+                Wicat.astype(np.float32).transpose(0, 2, 1)
 
         def stage_a(v, w1cat):
             pad = rows_in * N2 - n

@@ -460,10 +460,13 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
 
     corr(Ahx, Ahy, WiT) -> (B, rows_out_pad, N2) float32, where
     Ahx/Ahy are the packed (B, 2, N1, N2) stage-A outputs and WiT is
-    the (2, rows_out_pad, N1) folded inverse constant ([0] applies to
-    Re(C), [1] to Im(C)). VMEM-bounded: requires
-    rows_out_pad * N2 * 4 bytes to fit the accumulator (callers gate on
-    this and fall back to the unfused path).
+    the (2, N1, rows_out_pad) folded inverse constant ([0] applies to
+    Re(C), [1] to Im(C)) — k1 on the SUBLANE axis, because Mosaic only
+    blocks the last-two dims in (8, 128) tiles (an (..., rows, ROWS)
+    layout would block the lane axis at 8, which does not lower).
+    VMEM-bounded: requires rows_out_pad * N2 * 4 bytes to fit the
+    accumulator (callers gate on this and fall back to the unfused
+    path).
     """
     _dft, _idft, _, _, n_const = _geometry(N1, N2, N, precision)
     P, Q = _split_pq_pallas(N2)
@@ -478,8 +481,8 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
                               memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((ROWS, N2), lambda b, i: (i, 0),
                           memory_space=pltpu.VMEM)
-    wi_spec = pl.BlockSpec((2, rows_out_pad, ROWS),
-                           lambda b, i: (0, 0, i),
+    wi_spec = pl.BlockSpec((2, ROWS, rows_out_pad),
+                           lambda b, i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, rows_out_pad, N2),
                             lambda b, i: (b, 0, 0),
@@ -502,7 +505,7 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
                      memory_space=pltpu.VMEM) for a in consts[2:]]
     prec = "high3" if precision in ("high", "high3", "high_block") \
         else _PRECISIONS[precision]
-    dn_acc = (((1,), (0,)), ((), ()))  # (M, 2R) x (2R, N2)
+    dn_acc = (((0,), (0,)), ((), ()))  # (2R, M)^T x (2R, N2) -> (M, N2)
 
     def kernel(ax, ay, wi, t_re, t_im, *refs):
         cs = [r[...] for r in refs[:n_const]]
@@ -516,7 +519,7 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
         hr, hi = _idft(sr, si, cs)
         cr, ci = _cmul(hr, hi, tr, -ti)
         wiv = wi[...]
-        lhs = jnp.concatenate([wiv[0], wiv[1]], axis=1)  # (M, 2R)
+        lhs = jnp.concatenate([wiv[0], wiv[1]], axis=0)  # (2R, M)
         rhs = jnp.concatenate([cr, ci], axis=0)          # (2R, N2)
         if prec == "high3":
             contrib = _dot3(lhs, rhs, dn_acc)
@@ -541,18 +544,26 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
                 raise ValueError(
                     f"packed input must be (B, 2, {N1}, {N2}), got "
                     f"{a.shape}")
-        if wicat.shape != (2, rows_out_pad, N1):
+        if wicat.shape != (2, N1, rows_out_pad):
             raise ValueError(
-                f"WiT must be (2, {rows_out_pad}, {N1}), got "
+                f"WiT must be (2, {N1}, {rows_out_pad}), got "
                 f"{wicat.shape}")
         out_shape = jax.ShapeDtypeStruct((B, rows_out_pad, N2),
                                          jnp.float32)
+        # the VMEM-resident accumulator block (rows_out_pad x N2 f32,
+        # ~6.8 MB at day scale) plus the DFT-chain temporaries overflow
+        # Mosaic's default 16 MB scoped-vmem budget by ~2.4 MB; v5e
+        # cores carry 128 MB of VMEM, so raise the limit rather than
+        # splitting the accumulation (a rows_out grid axis would rerun
+        # the whole forward+inverse chain per block)
         return pl.pallas_call(
             kernel,
             grid=(B, nb_t),
             in_specs=[pdata_spec, pdata_spec, wi_spec] + const_specs,
             out_specs=out_spec,
             out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(ax, ay, wicat, *consts)
 
     return run

@@ -404,13 +404,15 @@ def device_process_bulk(datasets, client, inventory=None,
                   f"{raw_a.nbytes / 1e6:.0f} MB span transfer")
         fetched = raw_a.nbytes + raw_b.nbytes
         with timer("device-dispatch", nbytes=fetched, items=nused):
-            ccf_dev = pipe.launch(raw_a, raw_b)
+            # slice off the bucket-pad rows ON DEVICE (async) so the
+            # tunnel/PCIe readback only moves real windows
+            ccf_dev = pipe.launch(raw_a, raw_b)[:nused]
         launches.append((group, nused, ccf_dev))
 
     def finalize():
         for group, nused, ccf_dev in launches:
             with timer("device-readback"):
-                ccf = np.asarray(ccf_dev)[:nused]
+                ccf = np.asarray(ccf_dev)
             with timer("bookkeeping"):
                 b = 0
                 for t in group:

@@ -37,6 +37,12 @@ def malloc_heap_reuse(threshold_bytes: int = 1 << 30) -> bool:
     (measured round 3) while the warmed main thread paid 0.5 s. One
     shared arena keeps every thread on the already-faulted heap; the
     allocator lock it serializes on is irrelevant next to that.
+
+    ``M_TRIM_THRESHOLD`` is raised to the same bound: with the default
+    128 KB trim, freeing a day-scale buffer that sits at the top of the
+    heap shrinks ``brk`` and returns the pages to the kernel — the next
+    span/CCF allocation then re-pays the first-touch faults the heap
+    reuse was meant to avoid.
     """
     global _applied
     if _applied:
@@ -45,8 +51,10 @@ def malloc_heap_reuse(threshold_bytes: int = 1 << 30) -> bool:
         import ctypes
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         M_MMAP_THRESHOLD = -3
+        M_TRIM_THRESHOLD = -1
         M_ARENA_MAX = -8
         ok = bool(libc.mallopt(M_MMAP_THRESHOLD, int(threshold_bytes)))
+        libc.mallopt(M_TRIM_THRESHOLD, int(threshold_bytes))
         libc.mallopt(M_ARENA_MAX, 1)
         _applied = ok
         return ok
