@@ -168,6 +168,23 @@ def measure_e2e(small):
         clip_lag=(0.0, window * 0.375), inventory=inv,
         unbiased_cc=False,
     )
+    # the axon tunnel's d2h rate swings 4-40 MB/s day-to-day (h2d is
+    # steady ~40-80 MB/s); at 52 MB of CCF per pair-day the readback
+    # stage is hostage to it. Probe both directions so the recorded
+    # e2e number carries its own context.
+    import jax
+    import jax.numpy as jnp
+    probe = jax.jit(lambda: jnp.zeros((8, 1_620_000), jnp.float32))()
+    probe.block_until_ready()
+    t0 = time.time()
+    host = np.asarray(probe)
+    d2h_MBps = probe.nbytes / 1e6 / (time.time() - t0)
+    t0 = time.time()
+    dev = jax.device_put(host)
+    dev.block_until_ready()
+    h2d_MBps = host.nbytes / 1e6 / (time.time() - t0)
+    del probe, host, dev
+
     with tempfile.TemporaryDirectory() as root:
         # warmup: compile (or persistent-cache load) the pipeline on one
         # chunk of days, plus availability scan + preprocess preflight
@@ -204,6 +221,8 @@ def measure_e2e(small):
             # embarrassingly parallel over (pair, day): 8 chips scale
             # linearly (P1 batch sharding); measured throughput projects
             "projected_pair_year_s_v5e8": round(sec * 366 / 8, 1),
+            "tunnel_d2h_MBps": round(d2h_MBps, 1),
+            "tunnel_h2d_MBps": round(h2d_MBps, 1),
             "stage_breakdown_s": {k: v["wall_s"]
                                   for k, v in stages.items()},
         }

@@ -184,8 +184,28 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
 
                 def flush(finalize=finalize, dev_items=dev_items):
                     out = {}
-                    finalize()
+                    by_id = {id(d): (pair, time, d, nc)
+                             for pair, time, d, nc in dev_items}
+                    written = set()
+
+                    # write each shard the moment its dataset's last
+                    # launch is read back: the zlib write (GIL-free)
+                    # overlaps the remaining device->host readbacks
+                    def on_complete(data):
+                        hit = by_id.get(id(data))
+                        if hit is None:
+                            return
+                        pair, time, data, nc = hit
+                        written.add(id(data))
+                        if np.any(data["status"].values == 1):
+                            write(data, nc, verb=0)
+                        out[(pair, time)] = bool(
+                            np.all(data["status"].values == 1))
+
+                    finalize(on_complete=on_complete)
                     for pair, time, data, nc in dev_items:
+                        if id(data) in written:
+                            continue
                         if np.any(data["status"].values == 1):
                             write(data, nc, verb=0)
                         out[(pair, time)] = bool(

@@ -273,10 +273,13 @@ def device_process_bulk(datasets, client, inventory=None,
 
     Returns ``(finalize, fallback)``:
 
-    * ``finalize()`` blocks on the device results, scatters them into
-      the datasets and finishes their provenance — run it from a writer
-      thread to overlap device->host readback with the next chunk's
-      fetches and device dispatches. Idempotent-safe to call once.
+    * ``finalize(on_complete=None)`` blocks on the device results,
+      scatters them into the datasets and finishes their provenance —
+      run it from a writer thread to overlap device->host readback with
+      the next chunk's fetches and device dispatches. ``on_complete``
+      fires per dataset the moment it is complete, so callers can
+      pipeline shard writes against the remaining readbacks.
+      Idempotent-safe to call once.
     * ``fallback``: datasets whose chains are not device-compilable
       (route them through :func:`xcorr_tpu.core.process`).
 
@@ -409,10 +412,37 @@ def device_process_bulk(datasets, client, inventory=None,
             ccf_dev = pipe.launch(raw_a, raw_b)[:nused]
         launches.append((group, nused, ccf_dev))
 
-    def finalize():
+    # windows still in flight per dataset: lets finalize() hand each
+    # dataset to the caller AS SOON as its last launch is read back, so
+    # shard writes (zlib, GIL-free) overlap the remaining device->host
+    # readbacks (also GIL-free) instead of queueing behind them
+    launched_windows = {}
+    for group, nused, _ in launches:
+        for t in group:
+            key = id(t["dataset"])
+            launched_windows[key] = launched_windows.get(key, 0) \
+                + len(t["good"])
+
+    def finalize(on_complete=None):
+        """Block on the device results and scatter them into the
+        datasets. ``on_complete(dataset)``, when given, fires once per
+        dataset the moment all its windows are scattered and its
+        provenance is finished — call ``write`` there to pipeline shard
+        writes against the remaining readbacks."""
+        finished = set()
+
+        def finish(dataset):
+            if id(dataset) in finished:
+                return
+            finished.add(id(dataset))
+            _finish(dataset)
+            if on_complete is not None:
+                on_complete(dataset)
+
         for group, nused, ccf_dev in launches:
             with timer("device-readback"):
                 ccf = np.asarray(ccf_dev)
+            complete = []
             with timer("bookkeeping"):
                 b = 0
                 for t in group:
@@ -432,8 +462,14 @@ def device_process_bulk(datasets, client, inventory=None,
                             (pd.Timestamp(t["off_a"][k].ns)
                              + pd.to_timedelta(wl / 2, unit="s")
                              - times[it]) / pd.Timedelta("1s")
+                    key = id(dataset)
+                    launched_windows[key] -= len(t["good"])
+                    if launched_windows[key] == 0:
+                        complete.append(dataset)
+            for dataset in complete:
+                finish(dataset)
         for dataset, _ in items:
-            _finish(dataset)
+            finish(dataset)
         return [d for d, _ in items]
 
     return finalize, fallback
