@@ -188,28 +188,34 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                              for pair, time, d, nc in dev_items}
                     written = set()
 
-                    # write each shard the moment its dataset's last
-                    # launch is read back: the zlib write (GIL-free)
-                    # overlaps the remaining device->host readbacks
-                    def on_complete(data):
-                        hit = by_id.get(id(data))
-                        if hit is None:
-                            return
-                        pair, time, data, nc = hit
-                        written.add(id(data))
+                    def write_one(pair, time, data, nc):
                         if np.any(data["status"].values == 1):
                             write(data, nc, verb=0)
                         out[(pair, time)] = bool(
                             np.all(data["status"].values == 1))
 
-                    finalize(on_complete=on_complete)
+                    # hand each completed shard to a DEDICATED write
+                    # thread the moment its last launch is read back:
+                    # the zlib write (GIL-free) then genuinely overlaps
+                    # the remaining device->host readbacks, which run
+                    # in this thread
+                    with ThreadPoolExecutor(max_workers=1) as wpool:
+                        wjobs = []
+
+                        def on_complete(data):
+                            hit = by_id.get(id(data))
+                            if hit is None:
+                                return
+                            written.add(id(data))
+                            wjobs.append(wpool.submit(write_one, *hit))
+
+                        finalize(on_complete=on_complete)
+                        for f in wjobs:
+                            f.result()
                     for pair, time, data, nc in dev_items:
                         if id(data) in written:
                             continue
-                        if np.any(data["status"].values == 1):
-                            write(data, nc, verb=0)
-                        out[(pair, time)] = bool(
-                            np.all(data["status"].values == 1))
+                        write_one(pair, time, data, nc)
                     return out
 
                 if dev_items:

@@ -78,7 +78,7 @@ def _normed(a):
     return a / jnp.where(n == 0, 1.0, n)
 
 
-def correlate_spectrograms(specs, i_idx, j_idx, d1, d2, batch: int = 64,
+def correlate_spectrograms(specs, i_idx, j_idx, batch: int = 64,
                            mesh=None):
     """Batched normalized 2-D correlation peaks between spectrogram pairs.
 
@@ -190,7 +190,6 @@ def timelapse(pairs, times, root, freq_bands=((3.0, 6.0), (6.0, 12.0)),
             ii = [vmap[a] for a, b in cells]
             jj = [vmap[b] for a, b in cells]
             peaks, dfs, dls = correlate_spectrograms(stack, ii, jj,
-                                                     None, None,
                                                      batch=batch,
                                                      mesh=mesh)
             for (a, b), pk, df_, dl_ in zip(cells, peaks, dfs, dls):
