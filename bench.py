@@ -91,11 +91,28 @@ def measure_device(n, B, imin, imax, iters=10, repeats=5):
     y = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(ky)
     x.block_until_ready(), y.block_until_ready()
 
+    # day-scale accelerator path: hand the kernel stage-A-geometry
+    # buffers (zero tail), matching the production pipeline where the
+    # window stack materializes at padded length inside the fused jit.
+    # The zero-extension pass it skips is a full read+write of every
+    # window that the four-step never needed (ops.fft4.padded_len).
+    kw = {}
+    plen = ops.cc.preferred_padded_len(n)
+    if plen is not None:
+        padf = jax.jit(lambda a: jnp.pad(a, ((0, 0), (0, plen - n))))
+        x, y = padf(x), padf(y)
+        x.block_until_ready(), y.block_until_ready()
+        kw = {"pre_padded_n": n}
+
     @jax.jit
     def loop(x, y):
         def body(_, carry):
             xi, acc = carry
-            r = ops.cc.correlate(xi, y, index_min=imin, index_max=imax)
+            r = ops.cc.correlate(xi, y, index_min=imin, index_max=imax,
+                                 **kw)
+            # the 1e-30 chaining perturbation also lands on the padded
+            # tail; at f32 it is ~23 orders below the signal and does
+            # not disturb the zero-tail premise
             return xi + r[0, 0] * 1e-30, acc + r[0, 0]
         _, acc = jax.lax.fori_loop(0, iters, body, (x, 0.0))
         return acc
@@ -168,21 +185,27 @@ def measure_e2e(small):
         clip_lag=(0.0, window * 0.375), inventory=inv,
         unbiased_cc=False,
     )
-    # the axon tunnel's d2h rate swings 4-40 MB/s day-to-day (h2d is
-    # steady ~40-80 MB/s); at 52 MB of CCF per pair-day the readback
-    # stage is hostage to it. Probe both directions so the recorded
-    # e2e number carries its own context.
+    # the axon tunnel's d2h rate swings day-to-day AND the FIRST large
+    # readback of a process is pathological (measured 0.8 MB/s cold vs
+    # ~137 MB/s warm on the same day); at 52 MB of CCF per pair-day the
+    # readback stage is hostage to it. Probe both directions twice and
+    # record the warm rate (the steady-state campaign only ever sees
+    # warm transfers), keeping the cold one for context.
     import jax
     import jax.numpy as jnp
     probe = jax.jit(lambda: jnp.zeros((8, 1_620_000), jnp.float32))()
     probe.block_until_ready()
-    t0 = time.time()
-    host = np.asarray(probe)
-    d2h_MBps = probe.nbytes / 1e6 / (time.time() - t0)
-    t0 = time.time()
-    dev = jax.device_put(host)
-    dev.block_until_ready()
-    h2d_MBps = host.nbytes / 1e6 / (time.time() - t0)
+    rates = []
+    for _ in range(2):
+        t0 = time.time()
+        host = np.asarray(probe)
+        d2h = probe.nbytes / 1e6 / (time.time() - t0)
+        t0 = time.time()
+        dev = jax.device_put(host)
+        dev.block_until_ready()
+        h2d = host.nbytes / 1e6 / (time.time() - t0)
+        rates.append((d2h, h2d))
+    (d2h_cold, _), (d2h_MBps, h2d_MBps) = rates
     del probe, host, dev
 
     with tempfile.TemporaryDirectory() as root:
@@ -222,6 +245,7 @@ def measure_e2e(small):
             # linearly (P1 batch sharding); measured throughput projects
             "projected_pair_year_s_v5e8": round(sec * 366 / 8, 1),
             "tunnel_d2h_MBps": round(d2h_MBps, 1),
+            "tunnel_d2h_MBps_cold": round(d2h_cold, 1),
             "tunnel_h2d_MBps": round(h2d_MBps, 1),
             "stage_breakdown_s": {k: v["wall_s"]
                                   for k, v in stages.items()},

@@ -170,3 +170,33 @@ class TestFusedPipeline:
                 jnp.asarray(a[None]), jnp.asarray(c[None]),
                 index_min=npts - 1, index_max=npts - 1 + 500))[0]
             np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+class TestMultiSpanPipeline:
+    def test_pre_padded_stack_matches(self):
+        """``pre_padded_len`` materializes the preprocessed window stack
+        at stage-A geometry (zero tail) inside the step; the result must
+        match the plain pipeline (on accelerators the correlate kernel
+        then skips its zero-extension pass; on CPU it trims back)."""
+        from xcorr_tpu.ops.fft4 import padded_len
+        from xcorr_tpu.parallel import MultiSpanPipeline
+
+        fs, span_dur = 10.0, 3000.0
+        span = int(span_dur * fs)
+        npts_raw = int(2000.0 * fs)
+        npts = int(1800.0 * fs)
+        ops_list = [("detrend", {"type": "demean"}),
+                    ("taper", {"type": "cosine", "max_percentage": 0.05})]
+        offsets = [(0, 0), (0, 5000)]
+        rng = np.random.default_rng(3)
+        raw_a = rng.normal(size=(1, span)).astype(np.float32)
+        raw_b = rng.normal(size=(1, span)).astype(np.float32)
+
+        common = dict(index_min=npts - 1, index_max=npts - 1 + 400)
+        args = (ops_list, ops_list, span, fs, span, fs, offsets, offsets,
+                npts_raw, npts_raw, npts)
+        want = MultiSpanPipeline(*args, **common)(raw_a, raw_b)
+        got = MultiSpanPipeline(
+            *args, pre_padded_len=padded_len(npts), **common)(raw_a, raw_b)
+        assert got.shape == want.shape == (2, 400)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-8)

@@ -291,6 +291,67 @@ class TestFourStep:
             pallas_fft.plan_fused_corr.cache_clear()
             fft4.plan_correlate4.cache_clear()
 
+    def test_pre_padded_matches(self):
+        """``pre_padded=True`` plans consume stage-A-geometry buffers
+        (zero tail, ``ops.fft4.padded_len``) and must match the
+        self-padding plan to f32 ulp — the engine materializes window
+        stacks at padded length so the kernel skips its zero-extension
+        pass.  Not bit-exact: XLA fuses the self-padding plan's pad into
+        the stage-A contraction (skipping the zero region), which
+        reorders the f32 accumulation relative to the dense pre-padded
+        dot."""
+        from jax.experimental import pallas as pl
+        from xcorr_tpu.ops import fft4, pallas_fft
+        rng = np.random.default_rng(5)
+        n, imin, imax = 2000, 1999, 3000
+        x = rng.normal(size=(2, n)).astype(np.float32)
+        y = rng.normal(size=(2, n)).astype(np.float32)
+
+        def padded(v, plen):
+            out = np.zeros((v.shape[0], plen), np.float32)
+            out[:, :n] = v
+            return out
+
+        for stageb, n1 in (("fft", 16), ("matmul", 16)):
+            plen = fft4.padded_len(n, n1=n1, stageb=stageb)
+            want = np.asarray(fft4.plan_correlate4(
+                n, imin, imax, n1=n1, stageb=stageb)(x, y))
+            got = np.asarray(fft4.plan_correlate4(
+                n, imin, imax, n1=n1, stageb=stageb, pre_padded=True)(
+                padded(x, plen), padded(y, plen)))
+            np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-8)
+
+        # fused Pallas path (interpret mode on CPU)
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        try:
+            pallas_fft.plan_fused_corr.cache_clear()
+            fft4.plan_correlate4.cache_clear()
+            plen = fft4.padded_len(n, n1=32)
+            want = np.asarray(fft4.plan_correlate4(
+                n, imin, imax, n1=32, stageb="pallas",
+                precision="highest")(x, y))
+            got = np.asarray(fft4.plan_correlate4(
+                n, imin, imax, n1=32, stageb="pallas",
+                precision="highest", pre_padded=True)(
+                padded(x, plen), padded(y, plen)))
+            np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-8)
+            # dispatch-level length validation
+            with pytest.raises(ValueError, match="pre-padded"):
+                ops.cc.correlate(jnp.asarray(padded(x, plen)),
+                                 jnp.asarray(padded(y, plen)),
+                                 index_min=imin, index_max=imax,
+                                 method="fourstep", pre_padded_n=n + 1)
+        finally:
+            pl.pallas_call = orig
+            pallas_fft.plan_fused_corr.cache_clear()
+            fft4.plan_correlate4.cache_clear()
+
     def test_pallas_fused_inverse_interpret(self, monkeypatch):
         """XCORR_FFT4_FUSED_INV=1 (pruned inverse folded into the
         kernel as cross-block accumulation) must match the two-stage

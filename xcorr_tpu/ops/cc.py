@@ -73,14 +73,39 @@ def lag_slice_of_circular(r, npts: int, nfft: int, index_min: int,
 FOURSTEP_THRESHOLD = 1 << 20
 
 
+def preferred_padded_len(n: int):
+    """Stage-A geometry length for pre-padded dispatch (see
+    :func:`correlate`'s ``pre_padded_n``), or ``None`` when the
+    four-step path will not engage (small windows / CPU backend) so the
+    caller should hand :func:`correlate` plain ``n``-sample windows.
+
+    Callers that materialize window stacks anyway (the span pipeline,
+    the benchmark) zero-extend to this length so the kernel skips its
+    zero-extension pass — a full read+write of every window (measured
+    ~10% of the day-scale batch) that the pruned stage-A never needed.
+    """
+    if n < FOURSTEP_THRESHOLD or jax.default_backend() == "cpu":
+        return None
+    from .fft4 import padded_len
+    from .pallas_fft import fused_available
+    return padded_len(n, stageb="pallas" if fused_available() else "fft")
+
+
 def correlate(x, y, *, normalize: bool = True, index_min: int = None,
               index_max: int = None, unbiased: bool = False,
               nfft: int = None, clip_weight: float = None,
-              method: str = "auto"):
+              method: str = "auto", pre_padded_n: int = None):
     """Dispatch wrapper: monolithic kernel for small windows (and exact
     f64 oracle work), four-step pruned kernel for day-scale windows on
-    accelerators. ``method``: 'auto' | 'monolithic' | 'fourstep'."""
-    n = x.shape[-1]
+    accelerators. ``method``: 'auto' | 'monolithic' | 'fourstep'.
+
+    ``pre_padded_n``: the logical window length when ``x``/``y`` are
+    already zero-extended to the four-step stage-A geometry
+    (``ops.fft4.padded_len(pre_padded_n)`` samples, tail zero) — the
+    kernel then skips its zero-extension pass. Paths that cannot consume
+    padded inputs trim back to ``pre_padded_n`` first.
+    """
+    n = x.shape[-1] if pre_padded_n is None else int(pre_padded_n)
     if method == "fourstep" and (unbiased or nfft is not None
                                  or clip_weight is not None):
         raise ValueError(
@@ -92,16 +117,27 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
         and jax.default_backend() != "cpu"
         and x.dtype == jnp.float32)
     if use4:
-        from .fft4 import plan_correlate4
+        from .fft4 import padded_len, plan_correlate4
         from .pallas_fft import fused_available
         stageb = "pallas" if fused_available() else "fft"
+        if pre_padded_n is not None and \
+                x.shape[-1] != padded_len(n, stageb=stageb):
+            raise ValueError(
+                f"pre-padded input is {x.shape[-1]} samples; the "
+                f"{stageb} plan expects padded_len({n}) = "
+                f"{padded_len(n, stageb=stageb)}")
         try:
             fn = plan_correlate4(n, index_min, index_max,
-                                 normalize=normalize, stageb=stageb)
+                                 normalize=normalize, stageb=stageb,
+                                 pre_padded=pre_padded_n is not None)
         except ValueError:  # geometry unsupported by the fused kernel
+            if pre_padded_n is not None:  # fft plan pads differently
+                x, y = x[..., :n], y[..., :n]
             fn = plan_correlate4(n, index_min, index_max,
                                  normalize=normalize)
         return fn(x, y)
+    if pre_padded_n is not None:
+        x, y = x[..., :n], y[..., :n]
     return _correlate_monolithic(
         x, y, normalize=normalize, index_min=index_min,
         index_max=index_max, unbiased=unbiased, nfft=nfft,

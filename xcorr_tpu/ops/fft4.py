@@ -35,13 +35,29 @@ import numpy as np
 
 from .fft import next_fast_len
 
-__all__ = ["plan_correlate4", "correlate4"]
+__all__ = ["plan_correlate4", "correlate4", "padded_len"]
 
 
 def _pick_factors(nn: int, n1: int = 512):
     """N1 x N2 >= nn with N2 a TPU-fast length."""
     n2 = next_fast_len((nn + n1 - 1) // n1)
     return n1, n2
+
+
+def padded_len(n: int, n1: int = None, stageb: str = "pallas") -> int:
+    """Stage-A input length ``rows_in * N2`` for a window of ``n`` samples.
+
+    A ``pre_padded=True`` plan (see :func:`plan_correlate4`) consumes
+    ``(B, padded_len(n))`` buffers whose tail beyond ``n`` is zero, so the
+    caller can materialize windows directly at stage-A geometry (e.g.
+    device-side window slicing writes into a zeroed padded stack) and the
+    kernel skips its zero-extension pass — a pure read+write of the full
+    window that the four-step itself never needed.
+    """
+    if n1 is None:
+        n1 = 528 if stageb == "pallas" else 576
+    _, N2 = _pick_factors(2 * n - 1, n1)
+    return ((n + N2 - 1) // N2) * N2
 
 
 def _split_pq(n2: int):
@@ -171,12 +187,19 @@ def _freq_reverse2(Z):
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
                     n1: int = None, normalize: bool = True,
                     packed: bool = False, stageb: str = "fft",
-                    precision: str = "high"):
+                    precision: str = "high", pre_padded: bool = False):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
 
     x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
     fftshifted lag order, identical (to f32 tolerance) to
     :func:`ops.cc.correlate`.
+
+    ``pre_padded=True`` expects ``(B, padded_len(n))`` inputs whose tail
+    beyond ``n`` is zero and skips the zero-extension pass (a full
+    read+write of each window — ~8 ms/batch at B=80 day scale — that the
+    traffic model never counted because the pruned stage-A reads padded
+    geometry natively). Normalization is unaffected: the zero tail does
+    not change the norms.
 
     ``packed=True`` runs ONE complex forward transform of ``x + i y`` and
     recovers the cross-spectrum via the Hermitian split
@@ -217,7 +240,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
 
     if stageb == "pallas":
         return _build_pallas_corr(n, index_min, index_max, p, normalize,
-                                  precision)
+                                  precision, pre_padded)
 
     # complex einsums: XLA's native 3-pass HIGH (no bf16-split form for
     # complex operands; these paths have no pallas-layout interaction)
@@ -287,8 +310,12 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
 
     def forward(v, W1, T):
         # (B, n) real -> (B, N1, N2) spectrum in permuted layout
-        pad = rows_in * N2 - n
-        A = jnp.pad(v, ((0, 0), (0, pad))).reshape(v.shape[0], rows_in, N2)
+        if pre_padded:
+            A = v.reshape(v.shape[0], rows_in, N2)
+        else:
+            pad = rows_in * N2 - n
+            A = jnp.pad(v, ((0, 0), (0, pad))).reshape(
+                v.shape[0], rows_in, N2)
         A = A.astype(jnp.complex64)
         Ah = jnp.einsum("kr,brj->bkj", W1, A,
                         precision=prec)  # MXU stage
@@ -347,7 +374,8 @@ def _einsum(sub, m, v, prec):
     return jnp.einsum(sub, m, v, precision=prec)
 
 
-def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
+def _build_pallas_corr(n, index_min, index_max, p, normalize, precision,
+                       pre_padded=False):
     """Four-step correlation with the whole stage-B chain fused into ONE
     Pallas launch (:func:`ops.pallas_fft.plan_fused_corr`): everything is
     real-valued at the XLA level (x is real and only Re(output) is
@@ -411,8 +439,11 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
     if batched:
         def stage_a(v, w1b):
             B = v.shape[0]
-            pad = rows_in * N2 - n
-            A = jnp.pad(v, ((0, 0), (0, pad))).reshape(B, rows_in, N2)
+            if pre_padded:
+                A = v.reshape(B, rows_in, N2)
+            else:
+                pad = rows_in * N2 - n
+                A = jnp.pad(v, ((0, 0), (0, pad))).reshape(B, rows_in, N2)
             out = _einsum("bpr,brj->bpj", w1b, A, prec)
             return out.reshape(B, 2, half, N2)
 
@@ -456,9 +487,12 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision):
                 Wicat.astype(np.float32).transpose(0, 2, 1)
 
         def stage_a(v, w1cat):
-            pad = rows_in * N2 - n
-            A = jnp.pad(v, ((0, 0), (0, pad))).reshape(
-                v.shape[0], rows_in, N2)
+            if pre_padded:
+                A = v.reshape(v.shape[0], rows_in, N2)
+            else:
+                pad = rows_in * N2 - n
+                A = jnp.pad(v, ((0, 0), (0, pad))).reshape(
+                    v.shape[0], rows_in, N2)
             return _einsum("pkr,brj->bpkj", w1cat, A, prec)
 
         @jax.jit

@@ -160,7 +160,7 @@ class MultiSpanPipeline:
                  offsets_a, offsets_b, npts_raw_a, npts_raw_b, npts,
                  index_min=None, index_max=None, normalize=True,
                  response_a=None, response_b=None, trim_offset=0,
-                 mesh=None):
+                 mesh=None, pre_padded_len="auto"):
         chain_a, n_a, fs_out_a = compile_operations(
             ops_a, npts_raw_a, fs_a, response=response_a, jit=False,
             trim_to=npts, trim_offset=trim_offset)
@@ -185,6 +185,15 @@ class MultiSpanPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
             shard = NamedSharding(mesh, P("batch", None))
 
+        # materialize the preprocessed window stacks directly at the
+        # four-step's stage-A geometry (zero tail) so the correlation
+        # kernel skips its zero-extension pass — the pad fuses with the
+        # chain's trailing trim copy instead of costing a separate full
+        # read+write of every window (measured ~10% of the batch)
+        plen = ops.cc.preferred_padded_len(npts) \
+            if pre_padded_len == "auto" else pre_padded_len
+        kw = {} if plen is None else {"pre_padded_n": npts}
+
         def step(raw_a, raw_b):
             # (nsrc, span) spans replicate; the cross-task window stack
             # shards over the mesh batch axis
@@ -197,9 +206,12 @@ class MultiSpanPipeline:
                 yb = jax.lax.with_sharding_constraint(yb, shard)
             xa = chain_a(xa)
             yb = chain_b(yb)
+            if plen is not None:
+                xa = jnp.pad(xa, ((0, 0), (0, plen - xa.shape[-1])))
+                yb = jnp.pad(yb, ((0, 0), (0, plen - yb.shape[-1])))
             return ops.cc.correlate(
                 xa, yb, normalize=normalize, index_min=index_min,
-                index_max=index_max)
+                index_max=index_max, **kw)
 
         self._step = jax.jit(step)
         self._compile_lock = threading.Lock()
