@@ -34,9 +34,20 @@ def bench_cc(small):
     n = 432_000 if small else 4_320_000
     B = 8 if small else 16
     imin, imax = n - 1, n - 1 + (162_000 if small else 1_620_000)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(B, n)).astype(np.float32))
+    # generate ON device (host-side day-scale buffers pay GB-scale
+    # first-touch faults + a ~70 s tunnel h2d; timing is
+    # value-independent) and hand the kernel stage-A-geometry buffers
+    # (pre-padded dispatch) exactly like bench.measure_device
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(kx)
+    y = jax.jit(lambda k: jax.random.normal(k, (B, n), jnp.float32))(ky)
+    kw = {}
+    plen = ops.cc.preferred_padded_len(n)
+    if plen is not None:
+        padf = jax.jit(lambda a: jnp.pad(a, ((0, 0), (0, plen - n))))
+        x, y = padf(x), padf(y)
+        kw = {"pre_padded_n": n}
+    _sync(x), _sync(y)
     iters = 5
 
     # dependency-chained fori inside ONE dispatch: per-call tunnel
@@ -46,7 +57,8 @@ def bench_cc(small):
     def loop(x, y):
         def body(_, carry):
             xi, acc = carry
-            r = ops.cc.correlate(xi, y, index_min=imin, index_max=imax)
+            r = ops.cc.correlate(xi, y, index_min=imin, index_max=imax,
+                                 **kw)
             return xi + r[0, 0] * 1e-30, acc + r[0, 0]
         _, acc = jax.lax.fori_loop(0, iters, body, (x, 0.0))
         return acc

@@ -396,6 +396,60 @@ class TestFourStep:
             pallas_fft.plan_fused_corr_acc.cache_clear()
             fft4.plan_correlate4.cache_clear()
 
+    def test_pallas_full_fused_interpret(self, monkeypatch):
+        """XCORR_FFT4_FULL=1 (stage-A + stage-B + multiply + inverse +
+        pruned inverse in ONE kernel, bf16 hi/lo pre-split inputs) must
+        match the stage-A-outside path to the bf16x3 expansion tolerance
+        (interpret mode on CPU)."""
+        from jax.experimental import pallas as pl
+        from xcorr_tpu.ops import fft4, pallas_fft
+
+        def clear():
+            pallas_fft.plan_fused_corr.cache_clear()
+            pallas_fft.plan_fused_corr_full.cache_clear()
+            fft4.plan_correlate4.cache_clear()
+
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k.setdefault("interpret", True)
+            return orig(*a, **k)
+
+        pl.pallas_call = interp
+        try:
+            rng = np.random.default_rng(6)
+            n, imin, imax = 2000, 1999, 3000
+            x = rng.normal(size=(2, n)).astype(np.float32)
+            y = rng.normal(size=(2, n)).astype(np.float32)
+            want = np.asarray(ops.cc.correlate(
+                jnp.asarray(x), jnp.asarray(y), index_min=imin,
+                index_max=imax))
+            for n1 in (16, 32):
+                monkeypatch.setenv("XCORR_FFT4_FULL", "1")
+                clear()
+                fn = fft4.plan_correlate4(n, imin, imax, n1=n1,
+                                          stageb="pallas",
+                                          precision="high")
+                got = np.asarray(fn(x, y))
+                np.testing.assert_allclose(got, want, atol=2e-6,
+                                           err_msg=f"n1={n1}")
+                # pre-padded inputs take the same kernel
+                plen = fft4.padded_len(n, n1=n1)
+                pad = np.zeros((2, plen), np.float32)
+                padx, pady = pad.copy(), pad.copy()
+                padx[:, :n] = x
+                pady[:, :n] = y
+                fnp = fft4.plan_correlate4(n, imin, imax, n1=n1,
+                                           stageb="pallas",
+                                           precision="high",
+                                           pre_padded=True)
+                np.testing.assert_allclose(np.asarray(fnp(padx, pady)),
+                                           want, atol=2e-6)
+        finally:
+            pl.pallas_call = orig
+            monkeypatch.delenv("XCORR_FFT4_FULL", raising=False)
+            clear()
+
 
 class TestFourStepPlan:
     """Host-side invariants of the four-step plan geometry."""

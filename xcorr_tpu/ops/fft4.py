@@ -466,6 +466,48 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision,
                 denom = nx * ny
                 r = r / jnp.where(denom == 0, 1.0, denom)
             return r.astype(x.dtype)
+    elif os.environ.get("XCORR_FFT4_FULL", "0") == "1" \
+            and rows_in % ROWS == 0 \
+            and (-(-rows_out // ROWS) * ROWS) * N2 * 4 <= (8 << 20):
+        # XCORR_FFT4_FULL=1: the WHOLE four-step in one kernel launch
+        # (stage-A + stage-B + multiply + inverse + pruned inverse; see
+        # plan_fused_corr_full). The XLA side only hi/lo-splits the
+        # padded input to bf16 (the same expansion XLA's 3-pass HIGH
+        # performs internally, so accuracy matches) and applies the lag
+        # window + normalization.
+        from .pallas_fft import _host_split_bf16, plan_fused_corr_full
+        rows_out_pad = -(-rows_out // ROWS) * ROWS
+        w_h, w_l = _host_split_bf16(W1cat)      # (2, half, rows_in) each
+        W1stk = np.stack([w_h, w_h, w_l])       # terms vs [Ah, Al, Ah]
+        WiT = np.zeros((2, half, rows_out_pad), dtype=np.float32)
+        WiT[:, :, :rows_out] = Wicat.astype(np.float32).transpose(0, 2, 1)
+        corr_full = plan_fused_corr_full(half, N2, N, rows_in,
+                                         rows_out_pad, precision)
+
+        def split_hl(v):
+            B = v.shape[0]
+            if pre_padded:
+                A = v.reshape(B, rows_in, N2)
+            else:
+                pad = rows_in * N2 - n
+                A = jnp.pad(v, ((0, 0), (0, pad))).reshape(B, rows_in, N2)
+            hi = A.astype(jnp.bfloat16)
+            lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo], axis=1)
+
+        @jax.jit
+        def corr(x, y):
+            B = x.shape[0]
+            acc = corr_full(split_hl(x), split_hl(y),
+                            jnp.asarray(W1stk), jnp.asarray(WiT))
+            out = acc[:, :rows_out]
+            r = _take_lag_window(out.reshape(B, -1), segs_flat)
+            if normalize:
+                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+                denom = nx * ny
+                r = r / jnp.where(denom == 0, 1.0, denom)
+            return r.astype(x.dtype)
     else:  # legacy one-einsum-per-signal forms (A/B reference)
         # XCORR_FFT4_FUSED_INV=1 folds the pruned inverse einsum INTO
         # the Pallas kernel as cross-block accumulation (the full

@@ -569,6 +569,167 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
     return run
 
 
+@lru_cache(maxsize=8)
+def plan_fused_corr_full(N1: int, N2: int, N: int, rows_in: int,
+                         rows_out_pad: int, precision: str = "high"):
+    """The ENTIRE four-step correlation in one kernel launch: stage-A
+    (slow-axis pruned DFT), outer twiddle, both stage-B forward chains,
+    the spectral multiply, the inverse chain AND the pruned inverse —
+    HBM sees only the bf16 hi/lo split of the padded windows in and the
+    ``rows_out_pad`` pruned correlation rows out.
+
+    Versus :func:`plan_fused_corr` (+ XLA stage-A / inverse einsums)
+    this removes, per window, the 4 stage-A plane writes + 4 kernel
+    reads + 2 C-plane writes + 2 inverse reads (~12 plane passes); the
+    cost is re-fetching the outer twiddle per batch element (grid is
+    (b, k1-block) with the k1 sweep INNERMOST so the input blocks and
+    the output accumulator stay VMEM-resident across the sweep).
+    Modeled traffic drops ~2.3x vs the stage-A-outside form.
+
+    Inputs (see :func:`ops.fft4._build_pallas_corr`'s full-fused branch):
+
+    * ``axhl, ayhl``: (B, 2, rows_in, N2) bfloat16 — the real padded
+      input reshaped to stage-A geometry and hi/lo split at the XLA
+      level (``hi = bf16(A)``, ``lo = bf16(A - f32(hi))``), so the
+      kernel performs stage-A as bf16x3 MXU products with ZERO in-kernel
+      operand splits: ``W·A ~= Wh·Ah + Wh·Al + Wl·Ah`` (the dropped
+      ``Wl·Al`` is ~2^-32 relative — the same expansion XLA's 3-pass
+      HIGH uses, so accuracy matches the stage-A-outside path).
+    * ``w1stk``: (3, 2, N1, rows_in) bfloat16 host constant — per term
+      t the (re; im) stage-A matrix factors [W_hi, W_hi, W_lo] paired
+      against [A_hi, A_lo, A_hi].
+    * ``wicat``: (2, N1, rows_out_pad) float32 — the folded pruned
+      inverse constants, k1 on the sublane axis (as
+      :func:`plan_fused_corr_acc`).
+
+    Output: (B, rows_out_pad, N2) float32 pruned correlation rows.
+    """
+    _dft, _idft, _, _, n_const = _geometry(N1, N2, N, precision)
+    P, Q = _split_pq_pallas(N2)
+    nb_t = N1 // ROWS
+    if rows_out_pad % ROWS:
+        raise ValueError(f"rows_out_pad={rows_out_pad} not a multiple "
+                         f"of {ROWS}")
+    if rows_in % ROWS:
+        raise ValueError(f"rows_in={rows_in} not a multiple of {ROWS}")
+
+    # grid dims are (b, i): input/output blocks depend only on b and
+    # stay resident across the whole k1 sweep
+    a_spec = pl.BlockSpec((1, 2, rows_in, N2), lambda b, i: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((3, 2, ROWS, rows_in),
+                           lambda b, i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((ROWS, N2), lambda b, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    wi_spec = pl.BlockSpec((2, ROWS, rows_out_pad),
+                           lambda b, i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, rows_out_pad, N2),
+                            lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    k1 = np.arange(N1)
+    T = np.exp(-2j * np.pi * np.outer(k1, np.arange(N2)) / N)
+    WP = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(P)) / P)
+    WQ = np.exp(-2j * np.pi * np.outer(np.arange(Q), np.arange(Q)) / Q)
+    T2 = np.exp(-2j * np.pi * np.outer(np.arange(P), np.arange(Q)) / N2)
+    T2T = T2.T.copy()
+    f32 = np.float32
+    consts = [T.real.astype(f32), T.imag.astype(f32),
+              WP.real.astype(f32), WP.imag.astype(f32),
+              WQ.real.astype(f32), WQ.imag.astype(f32),
+              T2.real.astype(f32), T2.imag.astype(f32),
+              T2T.real.astype(f32), T2T.imag.astype(f32)]
+    const_specs = [t_spec, t_spec] + [
+        pl.BlockSpec(a.shape, lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM) for a in consts[2:]]
+    prec = "high3" if precision in ("high", "high3", "high_block") \
+        else _PRECISIONS[precision]
+    # stage-A: lhs (2*ROWS, rows_in) x rhs (rows_in, N2) over rows_in
+    dn_sa = (((1,), (0,)), ((), ()))
+    dn_acc = (((0,), (0,)), ((), ()))
+
+    def kernel(ax, ay, w1, wi, t_re, t_im, *refs):
+        cs = [r[...] for r in refs[:n_const]]
+        out = refs[n_const]
+        w = w1[...]
+        w0 = w[0].reshape(2 * ROWS, rows_in)
+        w1_ = w[1].reshape(2 * ROWS, rows_in)
+        w2 = w[2].reshape(2 * ROWS, rows_in)
+
+        def stage_a(a):
+            ah, al = a[0, 0], a[0, 1]
+            o = jax.lax.dot_general(w0, ah, dn_sa,
+                                    preferred_element_type=jnp.float32)
+            o = o + jax.lax.dot_general(w1_, al, dn_sa,
+                                        preferred_element_type=jnp.float32)
+            o = o + jax.lax.dot_general(w2, ah, dn_sa,
+                                        preferred_element_type=jnp.float32)
+            return o[:ROWS], o[ROWS:]
+
+        tr, ti = t_re[...], t_im[...]
+        ar, ai = stage_a(ax)
+        ar, ai = _cmul(ar, ai, tr, ti)
+        fxr, fxi = _dft(ar, ai, cs)
+        br, bi = stage_a(ay)
+        br, bi = _cmul(br, bi, tr, ti)
+        fyr, fyi = _dft(br, bi, cs)
+        sr, si = _cmul(fxr, fxi, fyr, -fyi)
+        hr, hi = _idft(sr, si, cs)
+        cr, ci = _cmul(hr, hi, tr, -ti)
+        wiv = wi[...]
+        lhs = jnp.concatenate([wiv[0], wiv[1]], axis=0)  # (2R, M)
+        rhs = jnp.concatenate([cr, ci], axis=0)          # (2R, N2)
+        if prec == "high3":
+            contrib = _dot3(lhs, rhs, dn_acc)
+        else:
+            contrib = jax.lax.dot_general(
+                lhs, rhs, dn_acc, preferred_element_type=jnp.float32,
+                precision=prec)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            out[0] = contrib
+
+        @pl.when(i != 0)
+        def _acc():
+            out[0] = out[0] + contrib
+
+    def run(axhl, ayhl, w1stk, wicat):
+        B = axhl.shape[0]
+        for a in (axhl, ayhl):
+            if a.shape != (B, 2, rows_in, N2) or a.dtype != jnp.bfloat16:
+                raise ValueError(
+                    f"input must be (B, 2, {rows_in}, {N2}) bf16, got "
+                    f"{a.shape} {a.dtype}")
+        if w1stk.shape != (3, 2, N1, rows_in):
+            raise ValueError(
+                f"w1stk must be (3, 2, {N1}, {rows_in}), got {w1stk.shape}")
+        if wicat.shape != (2, N1, rows_out_pad):
+            raise ValueError(
+                f"WiT must be (2, {N1}, {rows_out_pad}), got "
+                f"{wicat.shape}")
+        out_shape = jax.ShapeDtypeStruct((B, rows_out_pad, N2),
+                                         jnp.float32)
+        # resident set per step: both input blocks (2 x (2, rows_in,
+        # N2) bf16, ~35 MB at day scale) + the f32 accumulator
+        # (~7 MB) + DFT temporaries; give Mosaic most of the v5e's
+        # 128 MB VMEM
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nb_t),
+            in_specs=[a_spec, a_spec, w1_spec, wi_spec] + const_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(axhl, ayhl, w1stk, wicat, *consts)
+
+    return run
+
+
 def fused_available() -> bool:
     """Whether the fused kernels can run on this backend."""
     try:
