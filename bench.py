@@ -193,12 +193,19 @@ def measure_e2e(small):
     # warm transfers), keeping the cold one for context.
     import jax
     import jax.numpy as jnp
-    probe = jax.jit(lambda: jnp.zeros((8, 1_620_000), jnp.float32))()
-    probe.block_until_ready()
+    from xcorr_tpu.util.xfer import device_fetch
+    mk = jax.jit(lambda k: jax.random.normal(k, (8, 1_620_000),
+                                             jnp.float32))
     rates = []
-    for _ in range(2):
+    for i in range(2):
+        # a FRESH device buffer each round: re-reading one buffer hits
+        # the runtime's host-side copy cache and reports memcpy rates
+        probe = mk(jax.random.PRNGKey(i))
+        probe.block_until_ready()
         t0 = time.time()
-        host = np.asarray(probe)
+        # the engine's readback path (row-chunked + async above 64 MB;
+        # plain asarray here at 52 MB)
+        host = device_fetch(probe)
         d2h = probe.nbytes / 1e6 / (time.time() - t0)
         t0 = time.time()
         dev = jax.device_put(host)

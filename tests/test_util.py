@@ -221,3 +221,27 @@ class TestConvert:
                                "lag": lag}, name="snr")
         st = util.convert.to_stream(da, dim="lag")
         assert len(st) == 3
+
+
+class TestXfer:
+    def test_device_fetch_chunked_matches_asarray(self, monkeypatch):
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1")  # force chunking
+        x = jnp.arange(5 * 300_000, dtype=jnp.float32).reshape(5, 300_000)
+        h = util.xfer.device_fetch(x)
+        assert isinstance(h, np.ndarray)
+        np.testing.assert_array_equal(h, np.asarray(x))
+
+    def test_device_fetch_into_out(self, monkeypatch):
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1")
+        x = jnp.ones((4, 300_000), jnp.float32) * 3.5
+        out = np.empty((4, 300_000), np.float32)
+        got = util.xfer.device_fetch(x, out=out)
+        assert got is out
+        assert float(out.min()) == float(out.max()) == 3.5
+
+    def test_device_fetch_disabled_and_host_passthrough(self, monkeypatch):
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "0")
+        a = np.random.default_rng(0).normal(size=(8, 16)).astype(np.float32)
+        np.testing.assert_array_equal(util.xfer.device_fetch(a), a)

@@ -410,6 +410,14 @@ def device_process_bulk(datasets, client, inventory=None,
             # slice off the bucket-pad rows ON DEVICE (async) so the
             # tunnel/PCIe readback only moves real windows
             ccf_dev = pipe.launch(raw_a, raw_b)[:nused]
+            # kick the device->host copy off NOW (non-blocking): the
+            # transfer then rides the runtime while the remaining packs
+            # fetch/dispatch and while finalize scatters earlier
+            # launches, instead of starting when finalize first blocks
+            try:
+                ccf_dev.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies
         launches.append((group, nused, ccf_dev))
 
     # windows still in flight per dataset: lets finalize() hand each
@@ -441,7 +449,10 @@ def device_process_bulk(datasets, client, inventory=None,
 
         for group, nused, ccf_dev in launches:
             with timer("device-readback"):
-                ccf = np.asarray(ccf_dev)
+                # row-chunked + async-piped: a monolithic multi-hundred-
+                # MB read degrades to single-digit MB/s through tunneled
+                # runtimes (util.xfer.device_fetch docstring)
+                ccf = util.xfer.device_fetch(ccf_dev)
             complete = []
             with timer("bookkeeping"):
                 b = 0

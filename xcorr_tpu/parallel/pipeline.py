@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import ops
+from .. import ops, util
 from ..stream.compile import compile_operations
 
 __all__ = ["FusedPipeline", "MultiSpanPipeline", "mesh_fingerprint",
@@ -233,4 +233,4 @@ class MultiSpanPipeline:
 
     def __call__(self, raw_a, raw_b):
         """Synchronous :meth:`launch` returning a host array."""
-        return np.asarray(self.launch(raw_a, raw_b))
+        return util.xfer.device_fetch(self.launch(raw_a, raw_b))

@@ -1,0 +1,101 @@
+"""Device->host transfer helper tuned for high-latency links.
+
+The reference reads results straight out of device memory (torch/CUDA
+``tensor.cpu()``; implicit in ``xcorr/core/process.py:173-210`` where
+CCFs land in the in-memory dataset). On a TPU host the PCIe readback is
+effectively free at these sizes, but through a tunneled/forwarded
+runtime (the axon dev harness) a single multi-hundred-MB
+``np.asarray(device_array)`` degrades to single-digit MB/s, while the
+same bytes fetched as row-chunks with one transfer in flight behind the
+consumer sustain several times that (measured on v5e-1: 415 MB
+monolithic 7.5 MB/s twice in a row; 52 MB row-sliced 23 MB/s in the
+same session).
+
+``device_fetch`` reads a device array into host memory in row-chunks
+with a bounded async pipeline. Chunking only engages above a size
+threshold so small arrays and real-PCIe hosts keep the single-copy
+path; set ``XCORR_D2H_CHUNK_MB=0`` to disable it entirely.
+"""
+import os
+
+import numpy as np
+
+__all__ = ["device_fetch"]
+
+# chunk target in MB; also the "engage" threshold (arrays at or below
+# one chunk go through the plain single-copy path)
+_DEFAULT_CHUNK_MB = 64.0
+
+
+_row_slice_jit = None
+
+
+def _row_slice(x, i, n):
+    """``x[i:i+n]`` with a traced start index (shared executable)."""
+    import jax
+    global _row_slice_jit
+    if _row_slice_jit is None:
+        _row_slice_jit = jax.jit(
+            lambda a, j, m: jax.lax.dynamic_slice_in_dim(a, j, m, 0),
+            static_argnums=(2,))
+    return _row_slice_jit(x, i, n)
+
+
+def _chunk_mb() -> float:
+    try:
+        return float(os.environ.get("XCORR_D2H_CHUNK_MB",
+                                    _DEFAULT_CHUNK_MB))
+    except ValueError:
+        return _DEFAULT_CHUNK_MB
+
+
+def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
+    """Copy a (device) array to host memory, row-chunked + async-piped
+    when large. Equivalent to ``np.asarray(arr)`` for host arrays,
+    small arrays, or when chunking is disabled.
+
+    ``out``, when given, must be a C-contiguous host array of matching
+    shape/dtype; the result is written into it (no extra allocation).
+    """
+    chunk_mb = _chunk_mb()
+    nbytes = getattr(arr, "nbytes", 0)
+    ndim = getattr(arr, "ndim", 0)
+    if (chunk_mb <= 0 or ndim < 1 or arr.shape[0] < 2
+            or nbytes <= chunk_mb * 1e6
+            or isinstance(arr, np.ndarray)):
+        host = np.asarray(arr)
+        if out is not None:
+            out[...] = host
+            return out
+        return host
+
+    rows = arr.shape[0]
+    row_bytes = max(nbytes // rows, 1)
+    r = max(1, int(chunk_mb * 1e6 // row_bytes))
+    if out is None:
+        out = np.empty(arr.shape, dtype=arr.dtype)
+
+    # device-side row slices: the start index is TRACED (one executable
+    # per chunk size, not per chunk position — eager x[i:i+n] would
+    # compile every start offset separately, minutes through an AOT
+    # tunnel); copy_to_host_async starts the wire transfer so one chunk
+    # is in flight while the previous lands in ``out``
+    pend = []
+
+    def drain():
+        i0, n0, s0 = pend.pop(0)
+        out[i0:i0 + n0] = np.asarray(s0)
+
+    for i in range(0, rows, r):
+        n = min(r, rows - i)
+        s = _row_slice(arr, i, n)
+        try:
+            s.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append((i, n, s))
+        if len(pend) > 2:
+            drain()
+    while pend:
+        drain()
+    return out
