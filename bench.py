@@ -269,9 +269,39 @@ def measure_e2e(small):
         return out
 
 
+def _guard_device_init():
+    """Bound the first backend init when reaching the chip through the
+    axon tunnel: the tunnel intermittently degrades to where PJRT init
+    HANGS (not merely slows — measured two processes stuck >10 min at
+    ~5 s CPU). A hang inside the C init call is not interruptible by
+    SIGALRM, so probe init in a SUBPROCESS with a timeout; on timeout,
+    emit the JSON artifact with an error field instead of hanging the
+    driver. Skipped off-axon (CPU test runs) and via
+    XCORR_BENCH_INIT_TIMEOUT=0."""
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
+        return
+    timeout = float(os.environ.get("XCORR_BENCH_INIT_TIMEOUT", "900"))
+    if timeout <= 0:
+        return
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "CCF pair-days/sec/chip at 50 Hz",
+            "value": None, "unit": "pair-days/s", "vs_baseline": None,
+            "error": f"device init did not complete within {timeout:.0f}s"
+                     " (tunnel outage); no measurement possible",
+        }))
+        sys.exit(0)
+
+
 def main():
     small = "--small" in sys.argv or os.environ.get(
         "XCORR_BENCH_SMALL") == "1"
+    _guard_device_init()
     import jax
     platform = jax.devices()[0].platform
     if platform == "cpu" and "--full" not in sys.argv:

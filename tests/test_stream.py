@@ -23,6 +23,25 @@ class TestSyntheticClient:
         c = c1._get_waveforms_for_date("IU.RAR.10.BHZ", "2014-01-02")
         assert not np.array_equal(a[0].data, c[0].data)
 
+    def test_short_source_period(self):
+        """Source periods shorter than twice the 60 s edge guard must
+        shrink the guard instead of raising (low >= high draw), and
+        every receiver still sees the same onset draws."""
+        c = SyntheticClient(sampling_rate=5.0, source_period=60.0,
+                            delays={"AA": 0.0, "BB": 4.0})
+        a = c._get_waveforms_for_date("IM.AA..EDH", "2014-01-01")[0]
+        b = c._get_waveforms_for_date("IM.BB..EDH", "2014-01-01")[0]
+        assert a.data.shape == b.data.shape == (86400 * 5,)
+        assert np.isfinite(a.data).all()
+        # degenerate draw range: wavelet barely fits the period
+        c2 = SyntheticClient(sampling_rate=5.0, source_period=2.5)
+        st = c2._get_waveforms_for_date("IM.AA..EDH", "2014-01-01")
+        assert np.isfinite(st[0].data).all()
+        # period shorter than the wavelet: noise only, no crash
+        c3 = SyntheticClient(sampling_rate=5.0, source_period=0.1)
+        st3 = c3._get_waveforms_for_date("IM.AA..EDH", "2014-01-01")
+        assert np.isfinite(st3[0].data).all()
+
     def test_get_waveforms_window(self):
         client = SyntheticClient(sampling_rate=5.0)
         st = client.get_waveforms(

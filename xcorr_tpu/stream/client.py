@@ -457,10 +457,16 @@ class SyntheticClient(Client):
         wavelet = _ricker(int(2 * fs), 4.0, fs) * self.source_amplitude
         delay_n = int(round(self._delay_of(receiver) * fs))
         # onset draws must be identical for every receiver: the random
-        # bound uses a fixed margin, never the receiver's own delay
+        # bound uses a fixed margin, never the receiver's own delay.
+        # Short source periods can't honor the full 60 s edge guard —
+        # shrink it so the draw range stays valid instead of raising.
         margin = int(60.0 * fs) + wavelet.size
-        for k in range(n // period_n):
-            onset = int(src_rng.integers(margin, period_n - margin))
+        if period_n > wavelet.size and 2 * margin >= period_n:
+            margin = max((period_n - wavelet.size) // 4, 1)
+        for k in range(n // period_n if period_n > wavelet.size else 0):
+            lo, hi = margin, period_n - margin
+            onset = int(src_rng.integers(lo, hi)) if hi > lo \
+                else period_n // 2
             i = k * period_n + onset + delay_n
             if 0 <= i and i + wavelet.size <= n:
                 data[i:i + wavelet.size] += wavelet
