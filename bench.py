@@ -276,10 +276,10 @@ def _guard_device_init():
     ~5 s CPU). A hang inside the C init call is not interruptible by
     SIGALRM, so probe init in a SUBPROCESS with a timeout; on timeout,
     emit the JSON artifact with an error field instead of hanging the
-    driver. Skipped off-axon (CPU test runs) and via
-    XCORR_BENCH_INIT_TIMEOUT=0."""
-    if os.environ.get("JAX_PLATFORMS", "axon") != "axon":
-        return
+    driver. Unconditional (the axon plugin ignores JAX_PLATFORMS env,
+    so an env check cannot tell which backend will init; a healthy
+    probe costs one extra init, seconds); XCORR_BENCH_INIT_TIMEOUT=0
+    disables."""
     timeout = float(os.environ.get("XCORR_BENCH_INIT_TIMEOUT", "900"))
     if timeout <= 0:
         return
@@ -303,7 +303,15 @@ def main():
         "XCORR_BENCH_SMALL") == "1"
     _guard_device_init()
     import jax
-    platform = jax.devices()[0].platform
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError as error:  # backend init gave up (UNAVAILABLE)
+        print(json.dumps({
+            "metric": "CCF pair-days/sec/chip at 50 Hz",
+            "value": None, "unit": "pair-days/s", "vs_baseline": None,
+            "error": f"backend init failed: {error}",
+        }))
+        return
     if platform == "cpu" and "--full" not in sys.argv:
         small = True
 
