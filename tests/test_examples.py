@@ -19,11 +19,14 @@ def test_all_examples_compile():
         py_compile.compile(os.path.join(EXAMPLES, f), doraise=True)
 
 
-@pytest.mark.parametrize("name", ["stream_operations.py"])
-def test_example_runs(name):
+@pytest.mark.parametrize("name,expect", [
+    ("stream_operations.py", "operations sha256"),
+    ("client.py", "miniSEED round trip"),
+])
+def test_example_runs(name, expect):
     env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
     out = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, name)], env=env,
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "operations sha256" in out.stdout
+    assert expect in out.stdout

@@ -95,6 +95,12 @@ class TestMaxGapGating:
         assert not client.check_duration(
             Stream([self._day_trace(missing_seconds=400.0)]))
         assert not client.check_duration(Stream())
+        # sampling_rate filters the duration scan (reference kwargs
+        # passthrough): a wrong-rate stream contributes no coverage
+        assert client.check_duration(Stream([self._day_trace()]),
+                                     sampling_rate=5.0)
+        assert not client.check_duration(Stream([self._day_trace()]),
+                                         sampling_rate=50.0)
 
     def test_partial_remote_day_rejected(self, tmp_path):
         """A downloaded day with more than max_gap seconds missing is

@@ -70,14 +70,17 @@ class Client:
     # -- day-stream quality gating ---------------------------------------------
 
     def check_duration(self, stream, duration: float = None,
-                       receiver: str = None, verb: int = 0) -> bool:
+                       receiver: str = None, verb: int = 0,
+                       **kwargs) -> bool:
         """Whether ``stream`` covers at least ``duration`` − ``max_gap``
-        seconds of data (``xcorr/stream/client.py:369-423``)."""
+        seconds of data (``xcorr/stream/client.py:369-423``); extra
+        kwargs (e.g. ``sampling_rate``) filter the underlying
+        :func:`~xcorr_tpu.stream.duration.duration` scan."""
         from .duration import duration as stream_duration
         if stream is None or not len(stream):
             return False
         duration = duration or 86400.0
-        d = stream_duration(stream, receiver)
+        d = stream_duration(stream, receiver, **kwargs)
         if len(d) == 0:
             return False
         time = float(d["time"].iloc[0])

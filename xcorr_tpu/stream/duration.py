@@ -13,11 +13,16 @@ import pandas as pd
 __all__ = ["duration"]
 
 
-def duration(stream, receiver: str = None):
-    """DataFrame with per-SEED-id time/npts/gaps totals."""
+def duration(stream, receiver: str = None, sampling_rate: float = None):
+    """DataFrame with per-SEED-id time/npts/gaps totals, optionally
+    filtered to one receiver and/or one sampling rate (reference
+    ``xcorr/stream/duration.py:17-18``)."""
     rows = {}
     for tr in stream:
         if receiver and tr.id != receiver:
+            continue
+        if sampling_rate is not None and \
+                tr.stats.sampling_rate != sampling_rate:
             continue
         row = rows.setdefault(tr.id, {
             "id": tr.id, "npts": 0, "time": 0.0, "segments": 0,
