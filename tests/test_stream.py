@@ -102,6 +102,22 @@ class TestMaxGapGating:
         assert not client.check_duration(Stream([self._day_trace()]),
                                          sampling_rate=50.0)
 
+    def test_client_summary_and_stream_plot(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        client = Client(sds_root=str(tmp_path))
+        s = str(client)
+        for key in ("sds read", "fdsn", "vdms", "max gap"):
+            assert key in s
+        assert "vdms : No" in s
+        st = SyntheticClient(sampling_rate=5.0).get_waveforms(
+            receiver="IM.H10N1..EDH",
+            time=pd.Timestamp("2015-01-15T12:00"),
+            centered=True, duration=60.0, buffer=0.0)
+        fig = st.plot()
+        assert len(fig.axes) == len(st)
+        matplotlib.pyplot.close(fig)
+
     def test_partial_remote_day_rejected(self, tmp_path):
         """A downloaded day with more than max_gap seconds missing is
         neither archived nor returned — unless force_write."""

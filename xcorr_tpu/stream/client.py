@@ -69,6 +69,21 @@ class Client:
 
     # -- day-stream quality gating ---------------------------------------------
 
+    def __str__(self):
+        """Formatted client overview (reference
+        ``xcorr/stream/client.py:182-198``)."""
+        rows = [("sds read", self.sds_root_read),
+                ("sds write", self.sds_root_write),
+                ("fdsn", "Yes" if self.fdsn_base_url else "No")]
+        if self.fdsn_base_url:
+            rows.append(("fdsn base url", self.fdsn_base_url))
+        rows.append(("vdms", "Yes" if self.vdms.available() else "No"))
+        rows += [("max gap", f"{self.max_gap}s"),
+                 ("force write", "Yes" if self.force_write else "No"),
+                 ("parallel", "Yes" if self.parallel else "No")]
+        width = max(len(k) for k, _ in rows)
+        return "\n".join(f"{k:>{width}} : {v}" for k, v in rows)
+
     def check_duration(self, stream, duration: float = None,
                        receiver: str = None, verb: int = 0,
                        **kwargs) -> bool:

@@ -455,6 +455,27 @@ class Stream:
         self.traces.append(trace)
         return self
 
+    def plot(self, show: bool = False, **kwargs):
+        """Quick waveform figure, one axis per trace (the reference's
+        ``Stream.plot()`` via obspy, ``examples/stream/client.py``).
+        Returns the matplotlib figure; ``show=True`` also displays it."""
+        import matplotlib.pyplot as plt
+        n = max(len(self.traces), 1)
+        fig, axes = plt.subplots(n, 1, sharex=True, squeeze=False,
+                                 figsize=kwargs.pop("figsize", (10, 2 * n)),
+                                 **kwargs)
+        for ax, tr in zip(axes[:, 0], self.traces):
+            t = (pd.Timestamp(tr.stats.starttime.ns)
+                 + pd.to_timedelta(np.arange(tr.stats.npts)
+                                   / tr.stats.sampling_rate, unit="s"))
+            ax.plot(t, tr.data, lw=0.4, color="k")
+            ax.set_ylabel(tr.id, fontsize=8)
+        axes[-1, 0].set_xlabel("time")
+        fig.tight_layout()
+        if show:
+            plt.show()
+        return fig
+
     def copy(self):
         return Stream([t.copy() for t in self.traces])
 
