@@ -309,6 +309,39 @@ class TestDeviceEngine:
         device_process(ds, client=client, verb=0)
         assert (ds["status"].values == -1).all()
 
+    def test_device_process_error_isolation(self):
+        """A client that RAISES (not merely returns empty) for one pair
+        must fail only that pair's windows: the other pair in the same
+        bulk launch completes (per-(pair,day) error isolation, like the
+        reference's per-task dask boundary)."""
+        from xcorr_tpu.parallel.engine import device_process_bulk
+
+        class RaisingClient(SyntheticClient):
+            def get_waveforms(self, receiver=None, **kw):
+                if receiver == "IM.H03S2..EDH":
+                    raise OSError("corrupt archive day")
+                return super().get_waveforms(receiver=receiver, **kw)
+
+        client = RaisingClient(
+            sampling_rate=FS,
+            delays={"IM.H03S1..EDH": 0.0, "IU.RAR.10.BHZ": DELAY},
+            source_period=600.0, source_amplitude=20.0)
+        inv = Inventory(make_inventory().channels + [
+            Channel("IM", "H03S2", "", "EDH",
+                    latitude=-33.7, longitude=-78.9)])
+        ds_ok = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"),
+                        inventory=inv)
+        ds_bad = init_ds(pair="IM.H03S1..EDH-IM.H03S2..EDH",
+                         endtime=pd.Timestamp("2014-01-01T02:00"),
+                         inventory=inv)
+        with pytest.warns(UserWarning, match="prepare failed"):
+            finalize, fallback = device_process_bulk(
+                [ds_ok, ds_bad], client, verb=0)
+            finalize()
+        assert not fallback
+        assert (ds_ok["status"].values == 1).all()
+        assert (ds_bad["status"].values == -1).all()
+
     def test_device_process_on_mesh(self):
         """device_process shards the window stack over the CPU mesh."""
         import jax

@@ -245,3 +245,26 @@ class TestXfer:
         monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "0")
         a = np.random.default_rng(0).normal(size=(8, 16)).astype(np.float32)
         np.testing.assert_array_equal(util.xfer.device_fetch(a), a)
+
+    def test_chunking_gated_to_tunneled_platforms(self, monkeypatch):
+        """Without the env override, a real backend (cpu here) keeps
+        the single-copy path even above the size threshold; setting the
+        env forces chunking on any platform."""
+        import jax.numpy as jnp
+        monkeypatch.delenv("XCORR_D2H_CHUNK_MB", raising=False)
+        big = jnp.zeros((128, 300_000), jnp.float32)  # 154 MB on cpu
+        assert not util.xfer._should_chunk(big)
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "64")
+        assert util.xfer._should_chunk(big)
+
+    def test_prefetch_declines_when_chunked(self, monkeypatch):
+        """prefetch must NOT start a monolithic copy that the chunked
+        fetch cannot reuse; it should start one when the fetch will be
+        a single read."""
+        import jax.numpy as jnp
+        x = jnp.ones((4, 300_000), jnp.float32)
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1")  # would chunk
+        assert not util.xfer.prefetch(x)
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1000")  # single copy
+        assert util.xfer.prefetch(x) is True
+        assert not util.xfer.prefetch(np.zeros(4))  # host passthrough

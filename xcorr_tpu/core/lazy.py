@@ -134,9 +134,9 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                      days_per_launch: int, verb: int, force_fresh=False,
                      mesh=None, **kwargs):
     """Chunked multi-day device orchestration: every ``days_per_launch``
-    gated (pair, day) tasks batch into ONE device launch (B = chunk x 8
-    windows at the production overlap — the kernel's B-sweep gives
-    0.99 ms/window at B=80 vs 1.58 at B=8), while a writer thread
+    gated (pair, day) tasks batch into shared device launches (packed to
+    the engine's 32-window cap — the kernel's B-sweep saturates by ~32,
+    at 1.22 ms/window vs 1.58 at B=8), while a writer thread
     overlaps the device->host readback + netCDF shard writes of chunk N
     with the archive fetches and device dispatch of chunk N+1."""
     from ..parallel.engine import device_process_bulk
@@ -219,6 +219,19 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                     return out
 
                 if dev_items:
+                    # backpressure: each queued flush pins its chunk's
+                    # device CCF buffers (~52 MB/pair-day) in HBM until
+                    # read back. If readback+write lag fetch+dispatch,
+                    # drain the oldest before producing more — bounding
+                    # resident results to ~2 chunks instead of letting
+                    # a long campaign grow the backlog to OOM.
+                    while len(pending) >= 2:
+                        f = pending.pop(0)
+                        try:
+                            results.update(f.result())
+                        except Exception as error:
+                            warnings.warn(f"finalize/write failed: "
+                                          f"{error}", UserWarning)
                     pending.append(writer.submit(flush))
             except Exception as error:
                 warnings.warn(f"chunk {chunk[0]}..{chunk[-1]} failed: "

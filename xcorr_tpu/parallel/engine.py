@@ -16,8 +16,8 @@ of host-preprocessing each (pair, window) through the Trace methods
    correlation (:class:`xcorr_tpu.parallel.pipeline.MultiSpanPipeline`),
    stacking every (pair, day) task with a common chain/geometry into one
    device batch — :func:`device_process_bulk` batches MULTIPLE datasets
-   (days) per launch, where the kernel's B-sweep pays off (0.99 ms/window
-   at B=80 vs 1.58 at B=8),
+   (days) per launch, where the kernel's B-sweep pays off (1.22 ms/window
+   at the 32-window launch cap vs 1.58 at B=8),
 4. fills the dataset's cc/status/offset bookkeeping exactly like the
    host path — deferred into a ``finalize`` callable so a writer thread
    can overlap the device->host readback + netCDF writes with the next
@@ -284,8 +284,12 @@ def device_process_bulk(datasets, client, inventory=None,
       (route them through :func:`xcorr_tpu.core.process`).
 
     Tasks across ALL datasets with a common (chain, geometry, response)
-    key stack into one launch: 8 days x 8 windows = B=64 per dispatch at
-    the production config.
+    key stack into shared launches, packed to at most
+    ``max_windows_per_launch`` windows each (default 32 — the kernel's
+    B-sweep saturates by ~32 and a full 64+-window day-scale launch
+    oversubscribes the 16 GB chip; see the HBM-budget comment below).
+    At the production config an 8-day chunk therefore dispatches as
+    2 launches of 32 windows.
     """
     if timer is None:
         timer = util.profiler.StageTimer()  # unreported no-op sink
@@ -314,10 +318,28 @@ def device_process_bulk(datasets, client, inventory=None,
 
     def prep(job):
         dataset, geo, buf, status, ip = job
-        ts = _prepare_pair(dataset, ip, client, inventory,
-                           geo["operations"], geo["times"],
-                           geo["window_length"], buf, retry_missing,
-                           status, timer, kwargs)
+        try:
+            ts = _prepare_pair(dataset, ip, client, inventory,
+                               geo["operations"], geo["times"],
+                               geo["window_length"], buf, retry_missing,
+                               status, timer, kwargs)
+        except NotImplementedError:
+            raise  # chain not device-compilable -> host fallback
+        except Exception as error:
+            # per-(pair,day) error isolation, like the reference's
+            # per-task dask.delayed boundary (xcorr/core/lazy.py:26-82):
+            # one corrupt archive day must not fail its whole chunk.
+            # Flag this pair's pending windows missing and carry on.
+            import warnings
+            warnings.warn(
+                f"prepare failed for pair {ip} "
+                f"({type(error).__name__}: {error}); flagged missing",
+                UserWarning)
+            for it in range(geo["times"].size):
+                if status[ip, it] == 0 or (retry_missing
+                                           and status[ip, it] == -1):
+                    status[ip, it] = -1
+            return []
         for t in ts:
             t["dataset"] = dataset
             t["geo"] = geo
@@ -385,8 +407,9 @@ def device_process_bulk(datasets, client, inventory=None,
         offsets_b = [(g, t["rel_b"][k]) for g, t in enumerate(group)
                      for k in t["good"]]
         nused = len(offsets_a)
-        # static dummy windows pad the batch to a bucket so a missing
-        # window here or there still hits the same executable
+        # static dummy windows pad the batch to a mesh-divisible bucket
+        # (executable reuse itself comes from canonical offsets; see
+        # pad_nwin docstring)
         pad = pad_nwin(nused, mesh) - nused
         offsets_a = tuple(offsets_a + [(0, 0)] * pad)
         offsets_b = tuple(offsets_b + [(0, 0)] * pad)
@@ -413,11 +436,11 @@ def device_process_bulk(datasets, client, inventory=None,
             # kick the device->host copy off NOW (non-blocking): the
             # transfer then rides the runtime while the remaining packs
             # fetch/dispatch and while finalize scatters earlier
-            # launches, instead of starting when finalize first blocks
-            try:
-                ccf_dev.copy_to_host_async()
-            except Exception:
-                pass  # backend without async host copies
+            # launches, instead of starting when finalize first blocks.
+            # prefetch() declines when the fetch will be row-chunked —
+            # an in-flight monolithic copy would just double the wire
+            # traffic there (util.xfer.prefetch docstring)
+            util.xfer.prefetch(ccf_dev)
         launches.append((group, nused, ccf_dev))
 
     # windows still in flight per dataset: lets finalize() hand each

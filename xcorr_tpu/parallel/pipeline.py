@@ -54,11 +54,16 @@ def mesh_fingerprint(mesh):
 
 
 def pad_nwin(nwin: int, mesh=None) -> int:
-    """Bucket a window count so day-over-day (and resume-pass) launches
-    with a missing window or two still hit the same compiled executable.
+    """Bucket a window count: rounds up to a multiple of 4, and of the
+    mesh size when sharding (the batch axis must divide evenly over the
+    devices).
 
-    Rounds up to a multiple of 4, and of the mesh size when sharding (the
-    batch axis must divide evenly over the devices).
+    Note the bucket alone does NOT make a partial day hit a full day's
+    executable — the compiled step's cache key includes the exact
+    window-offset tuple, which a missing window changes. Executable
+    reuse comes from canonical (re-based) offsets repeating across
+    full-coverage days, the overwhelmingly common case; partial days
+    compile their own variant once and then cache like any other.
     """
     step = 4
     if mesh is not None:

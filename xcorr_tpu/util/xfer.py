@@ -13,14 +13,22 @@ same session).
 
 ``device_fetch`` reads a device array into host memory in row-chunks
 with a bounded async pipeline. Chunking only engages above a size
-threshold so small arrays and real-PCIe hosts keep the single-copy
-path; set ``XCORR_D2H_CHUNK_MB=0`` to disable it entirely.
+threshold AND on tunneled runtimes (platform ``axon``) — real-PCIe
+hosts and the CPU backend keep the single-copy path, where chunking
+would only add per-slice dispatches and an extra host copy. Set
+``XCORR_D2H_CHUNK_MB`` to force a chunk size on any platform, or to
+``0`` to disable chunking entirely.
 """
 import os
 
 import numpy as np
 
-__all__ = ["device_fetch"]
+__all__ = ["device_fetch", "prefetch"]
+
+#: platforms reached through a forwarded/tunneled runtime, where
+#: monolithic multi-hundred-MB reads degrade (measured; module
+#: docstring). Real backends (tpu/gpu/cpu) stay on the single copy.
+_TUNNELED_PLATFORMS = ("axon",)
 
 # chunk target in MB; also the "engage" threshold (arrays at or below
 # one chunk go through the plain single-copy path)
@@ -49,25 +57,62 @@ def _chunk_mb() -> float:
         return _DEFAULT_CHUNK_MB
 
 
+def _platform_of(arr) -> str:
+    try:
+        return next(iter(arr.devices())).platform
+    except Exception:
+        try:
+            return arr.device.platform
+        except Exception:
+            return ""
+
+
+def _should_chunk(arr) -> bool:
+    """Whether :func:`device_fetch` will read ``arr`` in row-chunks."""
+    chunk_mb = _chunk_mb()
+    nbytes = getattr(arr, "nbytes", 0)
+    ndim = getattr(arr, "ndim", 0)
+    if (chunk_mb <= 0 or ndim < 1 or isinstance(arr, np.ndarray)
+            or arr.shape[0] < 2 or nbytes <= chunk_mb * 1e6):
+        return False
+    if "XCORR_D2H_CHUNK_MB" not in os.environ and \
+            _platform_of(arr) not in _TUNNELED_PLATFORMS:
+        return False  # real link: single copy is strictly better
+    return True
+
+
+def prefetch(arr) -> bool:
+    """Start a non-blocking device->host copy of ``arr`` — but ONLY
+    when :func:`device_fetch` will later read it in one piece. When the
+    fetch will be row-chunked, an in-flight monolithic copy is pure
+    waste: the chunked slices are separate device arrays that cannot
+    reuse it, so the same bytes would cross the (degraded) wire twice.
+    Returns True when a copy was started."""
+    if isinstance(arr, np.ndarray) or _should_chunk(arr):
+        return False
+    try:
+        arr.copy_to_host_async()
+        return True
+    except Exception:
+        return False
+
+
 def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
     """Copy a (device) array to host memory, row-chunked + async-piped
-    when large. Equivalent to ``np.asarray(arr)`` for host arrays,
-    small arrays, or when chunking is disabled.
+    when large AND the runtime is tunneled (see module docstring).
+    Equivalent to ``np.asarray(arr)`` otherwise.
 
     ``out``, when given, must be a C-contiguous host array of matching
     shape/dtype; the result is written into it (no extra allocation).
     """
-    chunk_mb = _chunk_mb()
-    nbytes = getattr(arr, "nbytes", 0)
-    ndim = getattr(arr, "ndim", 0)
-    if (chunk_mb <= 0 or ndim < 1 or arr.shape[0] < 2
-            or nbytes <= chunk_mb * 1e6
-            or isinstance(arr, np.ndarray)):
+    if not _should_chunk(arr):
         host = np.asarray(arr)
         if out is not None:
             out[...] = host
             return out
         return host
+    chunk_mb = _chunk_mb()
+    nbytes = arr.nbytes
 
     rows = arr.shape[0]
     row_bytes = max(nbytes // rows, 1)
