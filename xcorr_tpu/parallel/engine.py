@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -330,7 +331,6 @@ def device_process_bulk(datasets, client, inventory=None,
             # per-task dask.delayed boundary (xcorr/core/lazy.py:26-82):
             # one corrupt archive day must not fail its whole chunk.
             # Flag this pair's pending windows missing and carry on.
-            import warnings
             warnings.warn(
                 f"prepare failed for pair {ip} "
                 f"({type(error).__name__}: {error}); flagged missing",
