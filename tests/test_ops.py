@@ -36,6 +36,16 @@ class TestCorrelate:
             want = cc_host.cc(x[i], y[i], normalize=True, unbiased=False)
             np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-12)
 
+    def test_nfft_below_full_raises(self):
+        x = jnp.zeros((1, 64), jnp.float32)
+        with pytest.raises(ValueError, match="alias"):
+            ops.cc.correlate(x, x, nfft=64)
+
+    def test_pre_padded_shorter_input_raises(self):
+        x = jnp.zeros((1, 64), jnp.float32)
+        with pytest.raises(ValueError, match="pre_padded_n"):
+            ops.cc.correlate(x, x, pre_padded_n=128)
+
     def test_unnormalized_matches_npcorrelate(self):
         rng = np.random.default_rng(3)
         x = rng.normal(size=(1, 64))
@@ -160,6 +170,39 @@ class TestTaperDetrend:
         # capped at 50 samples per side
         np.testing.assert_allclose(t[50:950], 1.0)
         assert t[0] == 0.0
+
+    def test_taper_ramp_matches_reference_and_obspy(self):
+        """The generic ramp must equal BOTH obspy's symmetric 2n+1
+        window sides (Trace.taper) and the reference signal-layer's
+        periodic 2n window left half (xcorr/signal/window.py:92) —
+        the two are the same sequence; the old periodic 2n+1 form
+        diverged by up to 8%."""
+        for wlen in (5, 10, 50):
+            t = ops.taper.taper_vector(10 * wlen, "hann",
+                                       max_percentage=0.1)
+            obspy_ramp = sp_signal.windows.hann(
+                2 * wlen + 1, sym=True)[:wlen]
+            ref_ramp = sp_signal.windows.hann(
+                2 * wlen, sym=False)[:wlen]
+            np.testing.assert_allclose(t[:wlen], obspy_ramp, atol=1e-7)
+            np.testing.assert_allclose(t[:wlen], ref_ramp, atol=1e-7)
+            # right side is the mirrored ramp (obspy convention)
+            np.testing.assert_allclose(t[-wlen:], obspy_ramp[::-1],
+                                       atol=1e-7)
+
+    def test_detrend_linear_f32_day_scale(self):
+        """f32 stability at day scale: the uncentered normal equations
+        cancel catastrophically (measured O(0.01) residual offset); the
+        centered fit stays at the f32 representability floor."""
+        n = 4_750_000
+        rng = np.random.default_rng(3)
+        x = (1e-3 * np.arange(n) + 0.5
+             + rng.normal(size=n) * 0.1).astype(np.float32)
+        got = np.asarray(ops.detrend.detrend_linear(
+            jnp.asarray(x)[None]))[0]
+        want = sp_signal.detrend(x.astype(np.float64), type="linear")
+        assert np.abs(got - want).max() < 2e-3
+        assert abs(got.mean()) < 1e-3
 
 
 class TestTimeshift:
@@ -395,6 +438,18 @@ class TestFourStep:
             pallas_fft.plan_fused_corr.cache_clear()
             pallas_fft.plan_fused_corr_acc.cache_clear()
             fft4.plan_correlate4.cache_clear()
+
+    def test_optin_plans_reject_high_block(self):
+        """The accumulator/full plans build the non-presplit constant
+        layout; precision='high_block' must raise up front instead of
+        failing with a dot_general shape mismatch at trace time."""
+        from xcorr_tpu.ops import pallas_fft
+        with pytest.raises(ValueError, match="high_block"):
+            pallas_fft.plan_fused_corr_acc(16, 1024, 16384, 8,
+                                           precision="high_block")
+        with pytest.raises(ValueError, match="high_block"):
+            pallas_fft.plan_fused_corr_full(16, 1024, 16384, 8, 8,
+                                            precision="high_block")
 
     def test_pallas_full_fused_interpret(self, monkeypatch):
         """XCORR_FFT4_FULL=1 (stage-A + stage-B + multiply + inverse +

@@ -106,6 +106,15 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
     padded inputs trim back to ``pre_padded_n`` first.
     """
     n = x.shape[-1] if pre_padded_n is None else int(pre_padded_n)
+    if pre_padded_n is not None and x.shape[-1] < n:
+        # the four-step branch validates the exact padded geometry; the
+        # trimming fallthroughs would otherwise silently shorten the
+        # window (and the caller's lag indices, computed for 2n-1,
+        # would select the wrong lags)
+        raise ValueError(
+            f"pre_padded_n={n} but the input has only {x.shape[-1]} "
+            "samples; pass the zero-extended buffers "
+            "(ops.fft4.padded_len) or drop pre_padded_n")
     if method == "fourstep" and (unbiased or nfft is not None
                                  or clip_weight is not None):
         raise ValueError(
@@ -171,6 +180,10 @@ def _correlate_monolithic(x, y, *, normalize: bool = True,
     nn = 2 * n - 1
     index_min = 0 if index_min is None else index_min
     index_max = nn if index_max is None else index_max
+    if nfft is not None and nfft < nn:
+        raise ValueError(
+            f"nfft={nfft} < 2n-1={nn}: the circular correlation would "
+            "alias positive lags onto negative ones")
     nfft = nfft or next_fast_len(nn)
 
     X = jnp.fft.rfft(x, n=nfft, axis=-1)

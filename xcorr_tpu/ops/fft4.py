@@ -138,9 +138,13 @@ def _plan(n: int, index_min: int, index_max: int, n1: int):
     for lo, hi in segs:
         start = row_pos[lo // N2] * N2 + (lo % N2)
         segs_flat.append((start, hi - lo))
-    assert np.array_equal(
-        np.concatenate([np.arange(s, s + ln) for s, ln in segs_flat]),
-        gather), "pruned lag window is not slice-contiguous"
+    # plan-time invariant check (ValueError, not assert: this guards
+    # output correctness and must survive python -O)
+    if not np.array_equal(
+            np.concatenate([np.arange(s, s + ln) for s, ln in segs_flat]),
+            gather):
+        raise ValueError("pruned lag window is not slice-contiguous "
+                         "for this geometry")
 
     return {
         "N1": N1, "N2": N2, "N": N, "rows_in": rows_in,
@@ -151,6 +155,20 @@ def _plan(n: int, index_min: int, index_max: int, n1: int):
         "gather": gather,
         "segs_flat": tuple(segs_flat),
     }
+
+
+def _finish_ccf(out_flat, x, y, segs_flat, normalize):
+    """Shared correlation epilogue: static-slice lag-window extraction,
+    optional norm division (zero tails in pre-padded inputs do not
+    change the norms), output dtype. One definition — every plan's corr
+    closure must apply the identical epilogue."""
+    r = _take_lag_window(out_flat, segs_flat)
+    if normalize:
+        nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+        denom = nx * ny
+        r = r / jnp.where(denom == 0, 1.0, denom)
+    return r.astype(x.dtype)
 
 
 def _take_lag_window(out_flat, segs_flat):
@@ -344,13 +362,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
         out = jnp.einsum("rk,bkj->brj", W1inv, C,
                          precision=prec)  # pruned MXU stage
         out = out.real.reshape(x.shape[0], -1)
-        r = _take_lag_window(out, segs_flat)
-        if normalize:
-            nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
-            ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
-            denom = nx * ny
-            r = r / jnp.where(denom == 0, 1.0, denom)
-        return r.astype(x.dtype)
+        return _finish_ccf(out, x, y, segs_flat, normalize)
 
     return corr
 
@@ -459,13 +471,8 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision,
             ccat = corr2(stage_a(x, w1b), stage_a(y, w1b))
             out = _einsum("brq,bqj->brj", wib,
                           ccat.reshape(B, 2 * half, N2), prec)
-            r = _take_lag_window(out.reshape(B, -1), segs_flat)
-            if normalize:
-                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
-                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
-                denom = nx * ny
-                r = r / jnp.where(denom == 0, 1.0, denom)
-            return r.astype(x.dtype)
+            return _finish_ccf(out.reshape(B, -1), x, y, segs_flat,
+                               normalize)
     elif os.environ.get("XCORR_FFT4_FULL", "0") == "1" \
             and rows_in % ROWS == 0 \
             and (-(-rows_out // ROWS) * ROWS) * N2 * 4 <= (8 << 20):
@@ -501,13 +508,8 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision,
             acc = corr_full(split_hl(x), split_hl(y),
                             jnp.asarray(W1stk), jnp.asarray(WiT))
             out = acc[:, :rows_out]
-            r = _take_lag_window(out.reshape(B, -1), segs_flat)
-            if normalize:
-                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
-                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
-                denom = nx * ny
-                r = r / jnp.where(denom == 0, 1.0, denom)
-            return r.astype(x.dtype)
+            return _finish_ccf(out.reshape(B, -1), x, y, segs_flat,
+                               normalize)
     else:  # legacy one-einsum-per-signal forms (A/B reference)
         # XCORR_FFT4_FUSED_INV=1 folds the pruned inverse einsum INTO
         # the Pallas kernel as cross-block accumulation (the full
@@ -549,13 +551,8 @@ def _build_pallas_corr(n, index_min, index_max, p, normalize, precision,
                 wi = jnp.asarray(Wicat.astype(np.float32))
                 ccat = corr2(stage_a(x, w1), stage_a(y, w1))
                 out = _einsum("prk,bpkj->brj", wi, ccat, prec)
-            r = _take_lag_window(out.reshape(B, -1), segs_flat)
-            if normalize:
-                nx = jnp.linalg.norm(x, axis=-1, keepdims=True)
-                ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
-                denom = nx * ny
-                r = r / jnp.where(denom == 0, 1.0, denom)
-            return r.astype(x.dtype)
+            return _finish_ccf(out.reshape(B, -1), x, y, segs_flat,
+                               normalize)
 
     return corr
 
@@ -583,7 +580,12 @@ def traffic_model(n: int, index_min: int = None, index_max: int = None,
     index_min = 0 if index_min is None else index_min
     index_max = nn if index_max is None else index_max
     if n1 is None:
-        n1 = 768
+        # MUST match the geometry the dispatch actually runs
+        # (plan_correlate4 defaults: pallas 528, fft 576) — a larger n1
+        # inflates the modeled bytes and overstates %-of-roofline
+        # (768 modeled 6.4% more traffic than the 528 plan measured)
+        from .pallas_fft import fused_available
+        n1 = 528 if fused_available() else 576
     from .pallas_fft import ROWS
     p = _plan(n, index_min, index_max, n1)
     N1, N2, rows_in = p["N1"], p["N2"], p["rows_in"]

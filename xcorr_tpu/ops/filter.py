@@ -16,7 +16,7 @@ O(log n) depth via ``jax.lax.associative_scan`` — the TPU answer to a
 recurrence scipy runs sequentially on one core (SURVEY.md §7 hard part 1).
 
 At day scale (> 2^18 samples) each biquad instead runs as a ``lax.scan``
-over 2^16-sample chunks carrying the exact 2-element state, with the
+over 2^18-sample chunks carrying the exact 2-element state, with the
 in-chunk solution computed in closed form: s[t] = A^(t+1) z_in +
 (h * x)[t] where the A-power sequences and the impulse response
 h[k] = A^k B are host-precomputed — ONE causal FFT convolution per chunk
@@ -160,7 +160,7 @@ def _biquad_chunk_plan(b, a, L):
 def _biquad_chunked(x, b, a, zi=None):
     """Chunked biquad via exact impulse-response convolution.
 
-    lax.scan over 2^16-sample chunks carrying the exact 2-element state;
+    lax.scan over 2^18-sample chunks carrying the exact 2-element state;
     inside each chunk the data-dependent part is ONE causal FFT
     convolution with the host-precomputed impulse response (the A-power
     sequences are constants), ~3 memory passes instead of the ~16 of an

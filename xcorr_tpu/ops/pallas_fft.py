@@ -468,6 +468,12 @@ def plan_fused_corr_acc(N1: int, N2: int, N: int, rows_out_pad: int,
     accumulator (callers gate on this and fall back to the unfused
     path).
     """
+    if precision == "high_block":
+        # this plan builds the non-presplit constant layout; _geometry's
+        # presplit closures would contract mismatched shapes at trace
+        # time. Use 'high'/'high3' (same accuracy, measured faster).
+        raise ValueError(
+            "precision='high_block' is not supported by this plan")
     _dft, _idft, _, _, n_const = _geometry(N1, N2, N, precision)
     P, Q = _split_pq_pallas(N2)
     nb_t = N1 // ROWS
@@ -604,6 +610,12 @@ def plan_fused_corr_full(N1: int, N2: int, N: int, rows_in: int,
 
     Output: (B, rows_out_pad, N2) float32 pruned correlation rows.
     """
+    if precision == "high_block":
+        # this plan builds the non-presplit constant layout; _geometry's
+        # presplit closures would contract mismatched shapes at trace
+        # time. Use 'high'/'high3' (same accuracy, measured faster).
+        raise ValueError(
+            "precision='high_block' is not supported by this plan")
     _dft, _idft, _, _, n_const = _geometry(N1, N2, N, precision)
     P, Q = _split_pq_pallas(N2)
     nb_t = N1 // ROWS

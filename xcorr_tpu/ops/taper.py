@@ -37,7 +37,14 @@ def taper_vector(n: int, wtype: str = "hann", max_percentage: float = None,
     if wtype == "cosine":
         ramp = 0.5 * (1.0 - np.cos(np.pi * np.arange(wlen) / wlen))
     else:
-        ramp = sp_signal.get_window(wtype, 2 * wlen + 1)[:wlen]
+        # periodic window of 2*wlen == symmetric window of 2*wlen+1
+        # truncated, so this ONE ramp matches both obspy's Trace.taper
+        # (symmetric 2n+1) and the reference's signal-layer window
+        # (periodic 2n, xcorr/signal/window.py:92). The right side is
+        # the mirrored ramp (obspy); the reference's right edge is the
+        # same ramp shifted one sample (it keeps the 1.0 sample) —
+        # documented divergence, <= one window-step per sample.
+        ramp = sp_signal.get_window(wtype, 2 * wlen, fftbins=True)[:wlen]
     if side in ("both", "left"):
         taper[:wlen] = ramp
     if side in ("both", "right"):

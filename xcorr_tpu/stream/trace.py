@@ -192,13 +192,15 @@ class Trace:
         wlen = min(wlen, n // 2)
         if wlen < 1:
             return self
-        if type in ("cosine", "hann"):
+        if type == "cosine":
             # obspy 'cosine' taper: cosine ramp over wlen samples
-            ramp = 0.5 * (1.0 - np.cos(np.pi * np.arange(wlen) / wlen)) \
-                if type == "cosine" \
-                else sp_signal.windows.hann(2 * wlen + 1)[:wlen]
+            ramp = 0.5 * (1.0 - np.cos(np.pi * np.arange(wlen) / wlen))
         else:
-            win = sp_signal.get_window(type, 2 * wlen + 1)
+            # obspy builds symmetric windows of 2*wlen+1 and takes each
+            # side; the periodic 2*wlen window is its exact truncation
+            # (and ops.taper.taper_vector's form — host and device
+            # chains must produce identical tapers)
+            win = sp_signal.get_window(type, 2 * wlen, fftbins=True)
             ramp = win[:wlen]
         taper = np.ones(n)
         if side in ("both", "left"):
