@@ -160,6 +160,47 @@ class TestWriteRead:
                                 parallel=True)
         assert len(got) == 3
 
+    def test_validate_list_skips_corrupt_leading_shard(self, tmp_path):
+        """A corrupt alphabetically-first file is skipped with a warning
+        (reference scans forward to the first VALID dataset); the rest
+        still validate and merge."""
+        (tmp_path / "a0.nc").write_bytes(b"not a netcdf file")
+        for day in (1, 2):
+            ds = make_ccf_dataset()
+            t = pd.date_range(f"2014-01-0{day}", periods=4,
+                              freq="3h").values
+            ds.coords["time"].data = t
+            ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+                ds, metadata_only=True)
+            xio.write(ds, str(tmp_path / f"b{day}.nc"), verb=0)
+        with pytest.warns(UserWarning, match="skipped"):
+            got = xio.validate_list(str(tmp_path / "*.nc"),
+                                    paths_only=True)
+        assert len(got) == 2
+
+    def test_write_failure_cleans_tmp_and_restores_attrs(self, tmp_path):
+        """A failed write leaves no tmp file and restores the pair
+        'preprocess' attr to dict form so a retry hashes correctly."""
+        ds = make_ccf_dataset()
+        ds.attrs["bad"] = object()  # unstorable -> to_netcdf raises
+        with pytest.raises(Exception):
+            xio.write(ds, str(tmp_path / "fail.nc"), verb=0)
+        assert not [p for p in os.listdir(tmp_path)
+                    if p.startswith("fail.nc.")]
+        assert isinstance(ds.coords["pair"].attrs["preprocess"], dict)
+
+    def test_datetime64_attrs_roundtrip_as_strings(self, tmp_path):
+        from xcorr_tpu.io.netcdf import to_netcdf, from_netcdf
+        ds = make_ccf_dataset()
+        ds.attrs["window_start"] = np.datetime64("2021-01-01T06:00:00")
+        ds.attrs["spans"] = np.array(["2021-01-01", "2021-01-02"],
+                                     dtype="datetime64[D]")
+        p = str(tmp_path / "dt.nc")
+        to_netcdf(ds, p, mode="w")
+        back = from_netcdf(p)
+        assert back.attrs["window_start"] == "2021-01-01T06:00:00"
+        assert list(back.attrs["spans"]) == ["2021-01-01", "2021-01-02"]
+
 
 class TestNcfile:
     def test_path_scheme(self):

@@ -214,3 +214,77 @@ class TestLoc:
         assert da.values[0, 2] == 99.0
         da.loc[{"pair": "A-B"}] = np.zeros(5)
         np.testing.assert_array_equal(da.values[0], 0.0)
+
+    def test_loc_setitem_block_semantics(self):
+        """Multiple array indexers assign the outer-product BLOCK (the
+        xarray read semantics), not numpy's broadcast diagonal."""
+        da = make_da()
+        da.loc[{"pair": ["A-B", "C-D"], "lag": [-2.0, 0.0]}] = \
+            np.array([[11.0, 12.0], [13.0, 14.0]])
+        assert da.values[0, 0] == 11.0 and da.values[0, 2] == 12.0
+        assert da.values[1, 0] == 13.0 and da.values[1, 2] == 14.0
+
+
+class TestUnsortedCoords:
+    def test_sel_list_on_unsorted_strings(self):
+        """Array labels must resolve on coordinates in user (unsorted)
+        order — searchsorted silently required sorted input."""
+        da = DataArray(np.arange(6.0).reshape(3, 2),
+                       coords={"pair": np.array(["XC.C-XC.D", "XC.A-XC.B",
+                                                 "XC.B-XC.C"], dtype=object),
+                               "lag": np.array([0.0, 1.0])},
+                       dims=("pair", "lag"), name="cc")
+        sub = da.sel(pair=["XC.A-XC.B"])
+        np.testing.assert_array_equal(sub.values, [[2.0, 3.0]])
+        sub2 = da.sel(pair=["XC.B-XC.C", "XC.C-XC.D"])
+        np.testing.assert_array_equal(sub2.values[:, 0], [4.0, 0.0])
+
+    def test_slice_on_unsorted_raises(self):
+        da = DataArray(np.arange(3.0),
+                       coords={"x": np.array([3.0, 1.0, 2.0])},
+                       dims=("x",), name="v")
+        with pytest.raises(KeyError, match="non-monotonic"):
+            da.sel(x=slice(1.0, 2.0))
+
+
+class TestDatasetConcatNewDim:
+    def test_concat_datasets_new_dim_stacks(self):
+        """Dataset concat along a NEW dim must stack every variable
+        (previously returned the first object's data silently)."""
+        parts = []
+        for v in (1.0, 2.0, 3.0):
+            ds = Dataset()
+            ds.coords["x"] = np.arange(2)
+            ds["a"] = (("x",), np.full(2, v))
+            parts.append(ds)
+        out = concat(parts, "day")
+        assert out["a"].dims == ("day", "x")
+        np.testing.assert_array_equal(out["a"].values[:, 0],
+                                      [1.0, 2.0, 3.0])
+
+
+class TestCoordValidation:
+    def test_wrong_length_coord_raises(self):
+        ds = Dataset()
+        ds.coords["time"] = np.arange(5)
+        ds["v"] = (("time",), np.zeros(5))
+        with pytest.raises(ValueError, match="dimension has 5"):
+            ds.coords["time"] = np.arange(3)
+
+
+class TestCombineIdenticalCoordFastPath:
+    def test_identical_lag_unioned_by_slice(self):
+        lag = np.linspace(-1, 1, 101)
+        parts = []
+        for i, t in enumerate([0.0, 1.0]):
+            ds = Dataset()
+            ds.coords["time"] = np.array([t])
+            ds.coords["lag"] = lag
+            ds["cc"] = (("time", "lag"),
+                        np.full((1, lag.size), float(i)))
+            parts.append(ds)
+        out = combine_by_coords(parts)
+        assert out["cc"].shape == (2, 101)
+        np.testing.assert_array_equal(out["cc"].values[0], 0.0)
+        np.testing.assert_array_equal(out["cc"].values[1], 1.0)
+        np.testing.assert_array_equal(out.coords["lag"].values, lag)

@@ -137,11 +137,16 @@ def _encode_attr(value):
         return json.dumps(value), True
     if value is None:
         return "n/a", False
+    # datetime64/timedelta64 have no native HDF5 equivalent (h5py
+    # raises); store ISO-8601 / str form like CF attribute conventions.
+    # np.datetime64 is an np.generic, so check before that branch.
+    if isinstance(value, (np.datetime64, np.timedelta64)):
+        return str(value), False
     if isinstance(value, (str, bytes, int, float, np.generic)):
         return value, False
     arr = np.asarray(value)
-    if arr.dtype == object or arr.dtype.kind in "US":
-        return json.dumps(list(np.asarray(value).tolist())), True
+    if arr.dtype == object or arr.dtype.kind in "USmM":
+        return json.dumps([str(v) for v in arr.tolist()]), True
     return arr, False
 
 

@@ -144,17 +144,32 @@ def validate_list(datasets, strict: bool = False, paths_only: bool = False,
                 return None, src
         return src, src.encoding.get("source", "[memory]")
 
-    first, first_src = load(sources[0])
-    first = validate(first, verb=verb, **kwargs)
+    # scan forward to the FIRST VALID dataset (reference behavior,
+    # xcorr/io/validate.py:329-339): a corrupt leading shard is skipped
+    # with a warning, not fatal for the whole merge
+    first = None
+    nskip = 0
+    for nskip, src in enumerate(sources):
+        first, first_src = load(src)
+        first = validate(first, verb=verb, **kwargs)
+        if first is not None:
+            break
+        warnings.warn(f"Dataset {first_src} failed validation; skipped",
+                      UserWarning)
     if first is None:
-        raise RuntimeError(f"First dataset {first_src} failed validation")
+        raise RuntimeError("No valid dataset found")
 
+    # template pinned to the first valid dataset (reference
+    # xcorr/io/validate.py:345-349): the metadata hash (config-only, so
+    # it repeats across same-config shards) gates cross-shard
+    # consistency; the version gate applies only when strict
     template = {
-        "metadata_hash": None,
+        "metadata_hash": first.attrs.get("sha256_hash_metadata"),
         "preprocess_hash":
             first.coords["pair"].attrs["preprocess"]["sha256_hash"]
             if "preprocess" in first.coords["pair"].attrs else None,
-        "xcorr_version": first.attrs.get("xcorr_version"),
+        "xcorr_version": first.attrs.get("xcorr_version") if strict
+            else None,
     }
 
     def check(src):
@@ -166,7 +181,7 @@ def validate_list(datasets, strict: bool = False, paths_only: bool = False,
             return None
         return name if paths_only else v
 
-    rest = sources[1:]
+    rest = sources[nskip + 1:]
     if parallel and rest:
         with ThreadPoolExecutor() as ex:
             validated = list(ex.map(check, rest))

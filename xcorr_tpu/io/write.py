@@ -77,15 +77,23 @@ def write(dataset, path: str, close: bool = True,
     if verb > 0:
         print("to temporary netcdf", end=". ")
     from .netcdf import to_netcdf
-    to_netcdf(dataset, tmp, mode="w")
-
-    if verb > 0:
-        print("replace", end=". ")
-    shutil.move(tmp, abspath)
-
-    # restore preprocess JSON -> dict in memory
-    if "pair" in dataset.coords:
-        preprocess_operations_to_dict(dataset.coords["pair"])
+    try:
+        to_netcdf(dataset, tmp, mode="w")
+        if verb > 0:
+            print("replace", end=". ")
+        shutil.move(tmp, abspath)
+    finally:
+        # a failed write must not leak the tmp file NOR leave the
+        # in-memory pair 'preprocess' attr in its JSON-string storage
+        # form — a retried write would then hash the string form and
+        # record a metadata hash validate() can never reproduce
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        if "pair" in dataset.coords:
+            preprocess_operations_to_dict(dataset.coords["pair"])
 
     if verb > 0:
         print("done.")

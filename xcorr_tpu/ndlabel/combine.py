@@ -63,6 +63,32 @@ def _concat_datasets(objs, dim):
     out = Dataset(attrs=dict(first.attrs))
     out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
                         for k, v in first.encoding.items()}
+    has_dim = any(dim in v.dims for v in first._vars.values()) or \
+        any(dim in c.dims for c in first._coords.values())
+    if not has_dim:
+        # NEW dimension (xarray concat semantics): every data variable
+        # gains it as the leading axis, one slice per object; per-object
+        # scalar coords named ``dim`` promote to the dim coordinate.
+        # (Previously this branch silently returned the first object's
+        # variables unstacked — data loss.)
+        for k, c in first._coords.items():
+            if k != dim:
+                out._coords[k] = c
+        labels = []
+        for o in objs:
+            c = o._coords.get(dim)
+            labels.append(c.data if c is not None and c.ndim == 0
+                          else None)
+        if all(lab is not None for lab in labels):
+            out._coords[dim] = DataArray(np.asarray(labels), dims=(dim,),
+                                         name=dim)
+        for k, v in first._vars.items():
+            data = np.stack([np.asarray(o._vars[k].data) for o in objs],
+                            axis=0)
+            nv = DataArray(data, dims=(dim,) + v.dims, name=k,
+                           attrs=dict(v.attrs))
+            out._vars[k] = nv
+        return out
     for k, c in first._coords.items():
         if dim in c.dims:
             cax = c.dims.index(dim)
@@ -128,13 +154,27 @@ def combine_by_coords(datasets, data_vars="minimal", join="outer",
         return datasets[0].copy(deep=False)
     first = datasets[0]
 
-    # union coordinate per dim that has a 1-D dim coordinate
+    # union coordinate per dim that has a 1-D dim coordinate. Dims whose
+    # coordinate is IDENTICAL across all datasets (the 4.7M-sample lag
+    # vector of every same-config CCF shard) skip the union entirely —
+    # np.unique over 365 concatenated copies of a day-scale lag axis is
+    # a multi-GB sort, and placement degrades to a full-length fancy
+    # index where a plain slice suffices.
     dim_coords = {}
     for ds in datasets:
         for k, c in ds._coords.items():
             if c.ndim == 1 and c.dims == (k,):
                 dim_coords.setdefault(k, []).append(c.data)
-    unions = {k: _union_coord(v) for k, v in dim_coords.items()}
+    unions, identical = {}, set()
+    for k, vals in dim_coords.items():
+        f = np.asarray(vals[0])
+        if len(vals) == len(datasets) and all(
+                np.asarray(v).shape == f.shape
+                and np.array_equal(np.asarray(v), f) for v in vals[1:]):
+            unions[k] = f
+            identical.add(k)
+        else:
+            unions[k] = _union_coord(vals)
 
     out = Dataset(attrs=dict(first.attrs))
     out.encoding = {k: (dict(v) if isinstance(v, dict) else v)
@@ -167,10 +207,10 @@ def combine_by_coords(datasets, data_vars="minimal", join="outer",
             v = ds._vars[k]
             idx = []
             for d in proto.dims:
-                if d in unions:
+                if d in unions and d not in identical:
                     pos = np.searchsorted(unions[d], ds._coords[d].data)
                     idx.append(pos)
-                else:
+                else:  # identical coord -> positions are 0..n-1: slice
                     idx.append(None)
             # sequential placement per dim (np.ix_-style for index arrays)
             arrays = [i for i in idx if i is not None]

@@ -18,11 +18,31 @@ def _as_np(data):
     return np.asarray(data)
 
 
+def _is_monotonic(cv):
+    if cv.size < 2:
+        return True
+    try:
+        d = cv[1:] >= cv[:-1]
+    except TypeError:
+        return False
+    return bool(np.all(d))
+
+
 def _label_to_index(coord_values, label):
-    """Map a coordinate label (scalar / slice / array) to positional index."""
+    """Map a coordinate label (scalar / slice / array) to positional index.
+
+    Slice labels require a monotonic coordinate (pandas/xarray raise the
+    same way); array labels use exact matching so unsorted coordinates
+    (pair/receiver strings in user order) resolve correctly —
+    ``searchsorted`` silently assumes sorted input.
+    """
     cv = np.asarray(coord_values)
     if isinstance(label, slice):
         # label-based slicing is inclusive on both ends (xarray convention)
+        if (label.start is not None or label.stop is not None) \
+                and not _is_monotonic(cv):
+            raise KeyError(
+                "cannot slice by label on a non-monotonic coordinate")
         start, stop = 0, cv.size
         if label.start is not None:
             start = int(np.searchsorted(cv, np.asarray(label.start), "left"))
@@ -37,11 +57,15 @@ def _label_to_index(coord_values, label):
         return int(idx[0])
     if lab.dtype == bool:
         return np.nonzero(lab)[0]
-    out = np.searchsorted(cv, lab)
-    out = np.clip(out, 0, cv.size - 1)
-    if not np.array_equal(cv[out], lab):
-        raise KeyError("one or more labels not found in coordinate")
-    return out
+    # exact positional lookup, order-independent (first occurrence wins)
+    pos = {}
+    for i, v in enumerate(cv.tolist()):
+        pos.setdefault(v, i)
+    try:
+        return np.asarray([pos[v] for v in lab.tolist()], dtype=np.int64)
+    except KeyError:
+        raise KeyError("one or more labels not found in coordinate") \
+            from None
 
 
 class DataArray:
@@ -478,7 +502,26 @@ class _LocIndexer:
                                       and p == slice(None))})
 
     def __setitem__(self, key, value):
-        self._da.data[self._positional(key)] = np.asarray(value)
+        idx = list(self._positional(key))
+        # xarray outer-product semantics: multiple array indexers select
+        # the block, not the numpy-broadcast diagonal. np.ix_ over EVERY
+        # axis (slices expanded to ranges) also sidesteps numpy's
+        # advanced-index placement rule for non-adjacent arrays.
+        n_arr = sum(isinstance(p, np.ndarray) and p.ndim == 1
+                    for p in idx)
+        if n_arr > 1:
+            full = []
+            for i, p in enumerate(idx):
+                if isinstance(p, slice):
+                    full.append(np.arange(
+                        *p.indices(self._da.data.shape[i])))
+                elif isinstance(p, np.ndarray) and p.ndim == 1:
+                    full.append(p)
+                else:  # scalar position: keep the axis, length 1
+                    full.append(np.asarray([p]))
+            self._da.data[np.ix_(*full)] = np.asarray(value)
+            return
+        self._da.data[tuple(idx)] = np.asarray(value)
 
 
 def _drop_all_false(out, cond):

@@ -247,6 +247,16 @@ class _CoordAccessor:
             dims = (k,) if arr.ndim == 1 else tuple(
                 f"dim_{i}" for i in range(arr.ndim))
             da = DataArray(arr, dims=dims, name=k)
+        # size validation against existing dimensions (matching
+        # Dataset.__setitem__ for variables): a silently short/long dim
+        # coordinate writes a corrupt netCDF (dimension-scale length !=
+        # dimension size) with no error anywhere downstream
+        sizes = self._ds.sizes
+        for d, size in zip(da.dims, da.data.shape):
+            if d in sizes and sizes[d] != size:
+                raise ValueError(
+                    f"coordinate {k!r} has {size} elements along "
+                    f"{d!r}, but the dimension has {sizes[d]}")
         self._ds._coords[k] = da
 
     def __contains__(self, k):

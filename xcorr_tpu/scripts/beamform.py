@@ -116,9 +116,11 @@ def main(argv=None):
     if not keep:
         log.error("no beamform results")
         return 1
+    # concat along the existing time dim: each day's result already
+    # carries its per-window timestamps (overwriting with one stamp per
+    # day mismatched the dimension length whenever a day kept more than
+    # one valid window)
     merged = ndlabel.concat([r for _, r in keep], "time")
-    merged.coords["time"] = np.asarray([d.to_datetime64()
-                                        for d, _ in keep])
     out = args.out or utils.ncfile_name(
         (args.prefix or "") + "beamform", days[0], days[-1], args.suffix)
     if os.path.exists(out) and not args.overwrite:
