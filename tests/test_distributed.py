@@ -68,6 +68,11 @@ class TestTwoProcessFormation:
         script.write_text(_WORKER)
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
+        # the worker script lives in tmp_path, so sys.path[0] is NOT the
+        # repo root; make xcorr_tpu importable even without an editable
+        # install of the package
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         procs = [subprocess.Popen(
             [sys.executable, str(script), str(pid), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
