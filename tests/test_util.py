@@ -257,6 +257,36 @@ class TestXfer:
         monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "64")
         assert util.xfer._should_chunk(big)
 
+    def test_tunnel_detected_from_platform_version(self, monkeypatch):
+        """The axon plugin registers devices as plain 'tpu'; only
+        client.platform_version carries the 'axon ...' banner. The
+        detector must catch that (regression: matching device.platform
+        alone silently disabled chunking in production and every large
+        readback went monolithic)."""
+        monkeypatch.delenv("XCORR_D2H_CHUNK_MB", raising=False)
+
+        class _Client:
+            platform_version = "PJRT C API\naxon 0.1.0; compat c49"
+            platform = "tpu"
+
+        class _Dev:
+            platform = "tpu"
+            client = _Client()
+
+        class _Arr:
+            nbytes = 415_000_000
+            ndim = 2
+            shape = (64, 1_620_000)
+
+            def devices(self):
+                return {_Dev()}
+
+        assert util.xfer._platform_of(_Arr()) == "axon"
+        assert util.xfer._should_chunk(_Arr())
+        _Client.platform_version = "PJRT C API\nTFRT TPU v4"
+        assert util.xfer._platform_of(_Arr()) == "tpu"
+        assert not util.xfer._should_chunk(_Arr())
+
     def test_prefetch_declines_when_chunked(self, monkeypatch):
         """prefetch must NOT start a monolithic copy that the chunked
         fetch cannot reuse; it should start one when the fetch will be

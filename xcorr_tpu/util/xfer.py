@@ -31,8 +31,10 @@ __all__ = ["device_fetch", "prefetch"]
 _TUNNELED_PLATFORMS = ("axon",)
 
 # chunk target in MB; also the "engage" threshold (arrays at or below
-# one chunk go through the plain single-copy path)
-_DEFAULT_CHUNK_MB = 64.0
+# one chunk go through the plain single-copy path). Swept on a fresh
+# 415 MB buffer (the e2e launch readback shape): 32 MB 36.4-37.7 MB/s,
+# 64 MB 33.4-35.9, 16 MB 34.7-36.2, 8 MB 22.9-25.5, monolithic ~25.
+_DEFAULT_CHUNK_MB = 32.0
 
 
 _row_slice_jit = None
@@ -58,13 +60,31 @@ def _chunk_mb() -> float:
 
 
 def _platform_of(arr) -> str:
+    """Runtime identifier used for the tunnel check. The axon plugin
+    registers its devices as plain ``tpu`` (``device.platform`` and
+    ``client.platform`` both say ``tpu`` — measured; only
+    ``client.platform_version`` carries the ``axon ...`` banner), so
+    matching ``device.platform`` alone silently disabled chunking in
+    production and every large readback went monolithic at ~20 MB/s.
+    Return the platform_version token when it names a known tunneled
+    runtime, the device platform otherwise."""
     try:
-        return next(iter(arr.devices())).platform
+        dev = next(iter(arr.devices()))
     except Exception:
-        try:
-            return arr.device.platform
-        except Exception:
-            return ""
+        dev = getattr(arr, "device", None)
+    if dev is None:
+        return ""
+    try:
+        version = str(dev.client.platform_version).lower()
+        for name in _TUNNELED_PLATFORMS:
+            if name in version:
+                return name
+    except Exception:
+        pass
+    try:
+        return dev.platform
+    except Exception:
+        return ""
 
 
 def _should_chunk(arr) -> bool:
