@@ -127,12 +127,14 @@ class FusedPipeline:
         float32."""
         x_raw = jnp.asarray(x_raw)
         y_raw = jnp.asarray(y_raw)
+        # util.xfer.device_fetch: row-chunked on tunneled runtimes —
+        # a day of windows (~52 MB) degrades monolithic there
         if not self._warm:
             with self._compile_lock:
-                out = np.asarray(self._step(x_raw, y_raw))
+                out = util.xfer.device_fetch(self._step(x_raw, y_raw))
                 self._warm = True
                 return out
-        return np.asarray(self._step(x_raw, y_raw))
+        return util.xfer.device_fetch(self._step(x_raw, y_raw))
 
 
 class MultiSpanPipeline:
