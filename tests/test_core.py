@@ -302,6 +302,45 @@ class TestDeviceEngine:
             peak = lagv[int(np.argmax(ds_dev["cc"].values[ipair, 0]))]
             assert abs(peak - delay) < 1.0
 
+    def test_device_process_shared_receiver_fetch_dedup(self):
+        """Pairs sharing a receiver fetch each archive span ONCE per
+        bulk call and pool it into a single device span row (the
+        engine's per-bulk fetch/span caches)."""
+        from xcorr_tpu import ndlabel
+        from xcorr_tpu.parallel import device_process
+
+        delays = {"IM.H03S1..EDH": 0.0, "IM.H03S2..EDH": 4.0,
+                  "IM.H03S3..EDH": 9.0}
+        counts = {}
+
+        class CountingClient(SyntheticClient):
+            def get_waveforms(self, receiver=None, **kw):
+                counts[receiver] = counts.get(receiver, 0) + 1
+                return super().get_waveforms(receiver=receiver, **kw)
+
+        client = CountingClient(sampling_rate=FS, delays=delays,
+                                source_period=600.0,
+                                source_amplitude=20.0)
+        inv = Inventory([
+            Channel("IM", "H03S1", "", "EDH",
+                    latitude=-33.6, longitude=-78.8),
+            Channel("IM", "H03S2", "", "EDH",
+                    latitude=-33.7, longitude=-78.9),
+            Channel("IM", "H03S3", "", "EDH",
+                    latitude=-33.8, longitude=-79.0),
+        ])
+        pairs = ["IM.H03S1..EDH-IM.H03S2..EDH",
+                 "IM.H03S1..EDH-IM.H03S3..EDH"]
+        ds = ndlabel.concat(
+            [init_ds(pair=p, inventory=inv,
+                     endtime=pd.Timestamp("2014-01-01T03:00"))
+             for p in pairs], "pair")
+        device_process(ds, client=client, verb=0)
+        assert (ds["status"].values == 1).all()
+        # H03S1 is in both pairs but its span is fetched exactly once
+        assert counts == {"IM.H03S1..EDH": 1, "IM.H03S2..EDH": 1,
+                          "IM.H03S3..EDH": 1}, counts
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

@@ -99,10 +99,19 @@ def _chain_compilable(ops_list):
 
 def _prepare_pair(dataset, ip, client, inventory, operations, times,
                   window_length, buffer, retry_missing, status, timer,
-                  kwargs):
+                  kwargs, caches=None):
     """Fetch raw spans + window offsets for one pair; mark failures in
     ``status``; return a list of task dicts (one per response epoch;
-    empty when nothing is runnable)."""
+    empty when nothing is runnable).
+
+    ``caches`` (shared across one :func:`device_process_bulk` call)
+    dedups work across pairs with a common receiver — the reference
+    workload is receiver-triangle pairs (H03S1-H03S2, H03S1-H03S3, ...)
+    where each archive day would otherwise be fetched and shipped once
+    PER PAIR. ``caches["fetch"]`` memoizes the archive read per
+    (receiver, span); ``caches["span"]`` memoizes the canonicalized
+    float32 span so tasks from different pairs share ONE array object,
+    which the launch assembly then pools into a single device row."""
     pair = str(dataset.coords["pair"].values[ip])
     r_a, r_b = util.receiver.split_pair(pair)[:2]
     cha_a = util.receiver.get_receiver_channel(r_a)
@@ -135,8 +144,29 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
             return None
         return st[0]
 
+    def fetch_cached(receiver):
+        if caches is None:
+            return fetch_raw(receiver)
+        key = (receiver, t0.value, round(span, 6),
+               repr(sorted(kwargs.items())))
+        with caches["lock"]:
+            ent = caches["fetch"].get(key)
+            if ent is None:
+                ent = caches["fetch"][key] = [threading.Event(), None]
+                owner = True
+            else:
+                owner = False
+        if owner:
+            try:
+                ent[1] = fetch_raw(receiver)
+            finally:
+                ent[0].set()
+        else:
+            ent[0].wait()
+        return ent[1]
+
     with timer("fetch-archive"):
-        tr_a, tr_b = fetch_raw(r_a), fetch_raw(r_b)
+        tr_a, tr_b = fetch_cached(r_a), fetch_cached(r_b)
     if tr_a is None or tr_b is None:
         for it in work:
             status[ip, it] = -1
@@ -203,11 +233,23 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         """Re-base the span at the subset's first window: the device
         sees data[base : base+need] and the offsets become the pure
         window grid (identical across days/processes -> the static
-        slice executable and the persistent compile cache both hit)."""
+        slice executable and the persistent compile cache both hit).
+        Memoized per (trace, base, need) so pairs sharing a receiver
+        return the SAME array object (the launch assembly pools
+        identical objects into one device span row)."""
         base = min(idx[k] for k in subset)
         need = max(idx[k] for k in subset) + npts_raw - base
-        data = np.asarray(tr.data[base:base + need], dtype=np.float32)
         rel = {k: idx[k] - base for k in subset}
+        if caches is not None:
+            key = (id(tr), base, need)
+            with caches["lock"]:
+                data = caches["span"].get(key)
+            if data is not None:
+                return data, rel, need
+        data = np.asarray(tr.data[base:base + need], dtype=np.float32)
+        if caches is not None:
+            with caches["lock"]:
+                data = caches["span"].setdefault(key, data)
         return data, rel, need
 
     tasks = []
@@ -317,13 +359,19 @@ def device_process_bulk(datasets, client, inventory=None,
         for ip in range(dataset.coords["pair"].values.size):
             jobs.append((dataset, geo, buf, status, ip))
 
+    # shared across this bulk call: archive fetches and canonicalized
+    # spans dedup across pairs with a common receiver (cleared after
+    # prepare — tasks hold the canonicalized arrays, the raw traces can
+    # then be collected)
+    caches = {"fetch": {}, "span": {}, "lock": threading.Lock()}
+
     def prep(job):
         dataset, geo, buf, status, ip = job
         try:
             ts = _prepare_pair(dataset, ip, client, inventory,
                                geo["operations"], geo["times"],
                                geo["window_length"], buf, retry_missing,
-                               status, timer, kwargs)
+                               status, timer, kwargs, caches=caches)
         except NotImplementedError:
             raise  # chain not device-compilable -> host fallback
         except Exception as error:
@@ -364,6 +412,8 @@ def device_process_bulk(datasets, client, inventory=None,
                     tasks.extend(prep(job))
                 except NotImplementedError:
                     bad.add(id(job[0]))
+    caches["fetch"].clear()
+    caches["span"].clear()
     if bad:
         fallback.extend(d for d, _ in items if id(d) in bad)
         items = [(d, g) for d, g in items if id(d) not in bad]
@@ -402,10 +452,23 @@ def device_process_bulk(datasets, client, inventory=None,
     for group in packs:
         t0g = group[0]
         geo = t0g["geo"]
-        offsets_a = [(g, t["rel_a"][k]) for g, t in enumerate(group)
-                     for k in t["good"]]
-        offsets_b = [(g, t["rel_b"][k]) for g, t in enumerate(group)
-                     for k in t["good"]]
+        # pool identical span objects (pairs sharing a receiver-day;
+        # the prepare caches make those the SAME array): each unique
+        # span ships to the device ONCE and every window addresses it
+        # by its pool row
+        pool_a, slot_a, pool_b, slot_b = [], {}, [], {}
+
+        def _slot(pool, slots, arr):
+            s = slots.get(id(arr))
+            if s is None:
+                s = slots[id(arr)] = len(pool)
+                pool.append(arr)
+            return s
+
+        offsets_a = [(_slot(pool_a, slot_a, t["data_a"]),
+                      t["rel_a"][k]) for t in group for k in t["good"]]
+        offsets_b = [(_slot(pool_b, slot_b, t["data_b"]),
+                      t["rel_b"][k]) for t in group for k in t["good"]]
         nused = len(offsets_a)
         # static dummy windows pad the batch to a mesh-divisible bucket
         # (executable reuse itself comes from canonical offsets; see
@@ -422,12 +485,14 @@ def device_process_bulk(datasets, client, inventory=None,
                 t0g["npts_raw_a"], t0g["npts_raw_b"], geo["npts"],
                 geo["imin"], geo["imax"], geo["normalize"],
                 t0g["resp_a"], t0g["resp_b"], t0g["buf_out"], mesh=mesh)
-        raw_a = np.stack([t["data_a"] for t in group])
-        raw_b = np.stack([t["data_b"] for t in group])
+        raw_a = np.stack(pool_a)
+        raw_b = np.stack(pool_b)
         if verb:
             print(f"device_process: {nused} windows "
-                  f"({len(group)} pair-days) from one "
-                  f"{raw_a.nbytes / 1e6:.0f} MB span transfer")
+                  f"({len(group)} pair-days, "
+                  f"{len(pool_a)}+{len(pool_b)} unique spans) from one "
+                  f"{(raw_a.nbytes + raw_b.nbytes) / 1e6:.0f} MB "
+                  f"span transfer")
         fetched = raw_a.nbytes + raw_b.nbytes
         with timer("device-dispatch", nbytes=fetched, items=nused):
             # slice off the bucket-pad rows ON DEVICE (async) so the
