@@ -341,6 +341,50 @@ class TestDeviceEngine:
         assert counts == {"IM.H03S1..EDH": 1, "IM.H03S2..EDH": 1,
                           "IM.H03S3..EDH": 1}, counts
 
+    def test_device_bulk_union_span_fetch(self):
+        """Multi-day bulk calls fetch ONE union span per receiver (the
+        consecutive days' task spans overlap ~50%) and the results
+        match the per-day host path."""
+        from xcorr_tpu.parallel.engine import device_process_bulk
+
+        counts = {}
+
+        class CountingClient(SyntheticClient):
+            def get_waveforms(self, receiver=None, **kw):
+                counts[receiver] = counts.get(receiver, 0) + 1
+                return super().get_waveforms(receiver=receiver, **kw)
+
+        def client(cls=SyntheticClient):
+            return cls(sampling_rate=FS,
+                       delays={"IM.H03S1..EDH": 0.0,
+                               "IU.RAR.10.BHZ": DELAY},
+                       source_period=600.0, source_amplitude=20.0)
+
+        # ADJACENT blocks: their task spans overlap, so the union guard
+        # (union shorter than the per-task fetches it replaces) engages
+        # — as it does for consecutive full days at production scale
+        def make_days():
+            return [init_ds(starttime=pd.Timestamp("2014-01-01"),
+                            endtime=pd.Timestamp("2014-01-01T02:00")),
+                    init_ds(starttime=pd.Timestamp("2014-01-01T02:00"),
+                            endtime=pd.Timestamp("2014-01-01T04:00"))]
+
+        dev = make_days()
+        finalize, fb = device_process_bulk(dev, client(CountingClient),
+                                           verb=0)
+        assert not fb
+        finalize()
+        # one UNION fetch per receiver covering both days
+        assert counts == {"IM.H03S1..EDH": 1, "IU.RAR.10.BHZ": 1}, counts
+
+        host = make_days()
+        for d in host:
+            xcorr_tpu.process(d, client=client(), verb=0)
+        for d_dev, d_host in zip(dev, host):
+            assert (d_dev["status"].values == 1).all()
+            np.testing.assert_allclose(d_dev["cc"].values,
+                                       d_host["cc"].values, atol=5e-6)
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

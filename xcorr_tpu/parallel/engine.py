@@ -144,10 +144,31 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
             return None
         return st[0]
 
+    def fetch_union(receiver):
+        """Fetch the chunk-wide union span for this receiver (set up by
+        device_process_bulk when profitable); the per-task span
+        otherwise. window_offsets indexes off tr.stats.starttime, so a
+        longer covering trace is transparent to the window math."""
+        u = (caches.get("union") or {}).get(receiver) if caches else None
+        if u is None:
+            return fetch_raw(receiver)
+        ut0, ut1 = u
+        span_u = (ut1 - ut0).total_seconds()
+        st = client.get_waveforms(
+            receiver=receiver, time=ut0 + pd.Timedelta(seconds=span_u / 2),
+            centered=True, duration=span_u, buffer=0.0, verb=0, **kwargs)
+        if not len(st):
+            return None
+        return st[0]
+
     def fetch_cached(receiver):
         if caches is None:
             return fetch_raw(receiver)
-        key = (receiver, t0.value, round(span, 6),
+        u = (caches.get("union") or {}).get(receiver)
+        key = (receiver,
+               u[0].value if u else t0.value,
+               round((u[1] - u[0]).total_seconds(), 6) if u
+               else round(span, 6),
                repr(sorted(kwargs.items())))
         with caches["lock"]:
             ent = caches["fetch"].get(key)
@@ -158,7 +179,7 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
                 owner = False
         if owner:
             try:
-                ent[1] = fetch_raw(receiver)
+                ent[1] = fetch_union(receiver)
             finally:
                 ent[0].set()
         else:
@@ -230,26 +251,33 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         epochs.setdefault(rk, []).append(k)
 
     def canonicalize(tr, idx, subset, npts_raw):
-        """Re-base the span at the subset's first window: the device
-        sees data[base : base+need] and the offsets become the pure
-        window grid (identical across days/processes -> the static
-        slice executable and the persistent compile cache both hit).
-        Memoized per (trace, base, need) so pairs sharing a receiver
-        return the SAME array object (the launch assembly pools
-        identical objects into one device span row)."""
+        """Shared-cache mode (bulk calls): return the WHOLE fetched
+        trace as one float32 array, memoized per trace, with offsets
+        absolute — every task (any pair, any day) drawing on this
+        receiver's span then holds the SAME array object, which the
+        launch assembly pools into a single device row shipped once
+        per bulk call. Offsets stay canonical chunk-over-chunk because
+        the fetch grid (span start relative to the first day) repeats.
+
+        Standalone mode (no caches): re-base the span at the subset's
+        first window — data[base : base+need] with the pure window
+        grid, identical across days/processes so the static slice
+        executable and the persistent compile cache both hit."""
+        if caches is not None:
+            need = int(tr.stats.npts)
+            rel = {k: idx[k] for k in subset}
+            key = (id(tr),)
+            with caches["lock"]:
+                data = caches["span"].get(key)
+            if data is None:
+                data = np.asarray(tr.data[:need], dtype=np.float32)
+                with caches["lock"]:
+                    data = caches["span"].setdefault(key, data)
+            return data, rel, need
         base = min(idx[k] for k in subset)
         need = max(idx[k] for k in subset) + npts_raw - base
         rel = {k: idx[k] - base for k in subset}
-        if caches is not None:
-            key = (id(tr), base, need)
-            with caches["lock"]:
-                data = caches["span"].get(key)
-            if data is not None:
-                return data, rel, need
         data = np.asarray(tr.data[base:base + need], dtype=np.float32)
-        if caches is not None:
-            with caches["lock"]:
-                data = caches["span"].setdefault(key, data)
         return data, rel, need
 
     tasks = []
@@ -260,11 +288,15 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         data_b, rel_b, need_b = canonicalize(tr_b, ib, subset,
                                              npts_raw_b)
         # tasks sharing this key run through ONE compiled chain + batch
+        # structural compatibility only — the launch concatenates each
+        # task's per-window offsets, so tasks need not share an offset
+        # grid to share an executable-compatible launch (absolute
+        # offsets into a chunk union span repeat chunk-over-chunk, so
+        # the concatenated tuples — and the compiled executables —
+        # still recur)
         group_key = (json.dumps(dev_ops_a), json.dumps(dev_ops_b),
                      need_a, fs_a, need_b, fs_b,
-                     npts_raw_a, npts_raw_b,
-                     tuple(rel_a[k] for k in subset),
-                     tuple(rel_b[k] for k in subset), rk)
+                     npts_raw_a, npts_raw_b, rk)
         tasks.append({
             "ip": ip, "work": work, "good": subset,
             "data_a": data_a, "data_b": data_b,
@@ -365,6 +397,30 @@ def device_process_bulk(datasets, client, inventory=None,
     # then be collected)
     caches = {"fetch": {}, "span": {}, "lock": threading.Lock()}
 
+    # per-receiver UNION span across the chunk: at the production
+    # config consecutive days' task spans overlap ~50% (each (pair,
+    # day) task needs window_length + day + 2*buffer ~ 47 h), so one
+    # continuous fetch per receiver roughly halves archive reads,
+    # host copies AND host->device span bytes for multi-day chunks.
+    # Guarded per receiver: only when the union is actually smaller
+    # than the per-task fetches it replaces (a sparse resume of
+    # scattered days would otherwise fetch the whole gap).
+    union_bounds, union_sum = {}, {}
+    for dataset, geo, buf, status, ip in jobs:
+        pair = str(dataset.coords["pair"].values[ip])
+        r_a, r_b = util.receiver.split_pair(pair)[:2]
+        half = pd.Timedelta(seconds=geo["window_length"] / 2 + buf)
+        t0, t1 = geo["times"][0] - half, geo["times"][-1] + half
+        for r in (r_a, r_b):
+            cur = union_bounds.get(r)
+            union_bounds[r] = (t0, t1) if cur is None else \
+                (min(t0, cur[0]), max(t1, cur[1]))
+            union_sum[r] = union_sum.get(r, 0.0) \
+                + (t1 - t0).total_seconds()
+    caches["union"] = {
+        r: (t0, t1) for r, (t0, t1) in union_bounds.items()
+        if (t1 - t0).total_seconds() <= union_sum[r]}
+
     def prep(job):
         dataset, geo, buf, status, ip = job
         try:
@@ -448,6 +504,27 @@ def device_process_bulk(datasets, client, inventory=None,
         if pack:
             packs.append(pack)
 
+    # one host->device transfer per unique span-stack composition: with
+    # chunk-union spans, every pack of a chunk draws on the SAME pooled
+    # rows, so the (multi-hundred-MB at day scale) span stack ships
+    # once and later packs reuse the resident device buffer
+    dev_stacks = {}
+
+    def _dev_stack(pool):
+        import jax
+        key = tuple(id(a) for a in pool)
+        dev = dev_stacks.get(key)
+        if dev is None:
+            host = pool[0][None] if len(pool) == 1 else np.stack(pool)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                dev = jax.device_put(
+                    host, NamedSharding(mesh, PartitionSpec()))
+            else:
+                dev = jax.device_put(host)
+            dev_stacks[key] = dev
+        return dev
+
     launches = []
     for group in packs:
         t0g = group[0]
@@ -485,16 +562,18 @@ def device_process_bulk(datasets, client, inventory=None,
                 t0g["npts_raw_a"], t0g["npts_raw_b"], geo["npts"],
                 geo["imin"], geo["imax"], geo["normalize"],
                 t0g["resp_a"], t0g["resp_b"], t0g["buf_out"], mesh=mesh)
-        raw_a = np.stack(pool_a)
-        raw_b = np.stack(pool_b)
+        fresh = sum(0 if tuple(id(x) for x in pool) in dev_stacks
+                    else sum(a.nbytes for a in pool)
+                    for pool in (pool_a, pool_b))
+        with timer("device-dispatch", nbytes=fresh, items=nused):
+            raw_a = _dev_stack(pool_a)
+            raw_b = _dev_stack(pool_b)
         if verb:
             print(f"device_process: {nused} windows "
                   f"({len(group)} pair-days, "
-                  f"{len(pool_a)}+{len(pool_b)} unique spans) from one "
-                  f"{(raw_a.nbytes + raw_b.nbytes) / 1e6:.0f} MB "
-                  f"span transfer")
-        fetched = raw_a.nbytes + raw_b.nbytes
-        with timer("device-dispatch", nbytes=fetched, items=nused):
+                  f"{len(pool_a)}+{len(pool_b)} unique spans, "
+                  f"{fresh / 1e6:.0f} MB fresh span transfer)")
+        with timer("device-dispatch", nbytes=0, items=nused):
             # slice off the bucket-pad rows ON DEVICE (async) so the
             # tunnel/PCIe readback only moves real windows
             ccf_dev = pipe.launch(raw_a, raw_b)[:nused]
