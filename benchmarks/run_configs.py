@@ -243,6 +243,20 @@ BENCHES = {
     "timelapse": bench_timelapse,
 }
 
+#: per-config workload class, mirroring the CLIs' init_compute policy:
+#: derived-analysis workloads are per-op dispatch/transfer bound through
+#: a TUNNELED device runtime (same-session: snr_ct 11.1 cpu vs 0.76
+#: tunneled-tpu pair-days/s, timelapse 78 vs ~8 cells/s, beamform 1.07
+#: vs 0.31) while the correlation engine's day-scale batches win on the
+#: device (pipeline 0.25-0.37 tpu vs 0.05 cpu)
+WORKLOADS = {
+    "cc": "correlate",
+    "pipeline": "correlate",
+    "snr_ct": "analysis",
+    "beamform": "analysis",
+    "timelapse": "analysis",
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -262,20 +276,61 @@ def main():
     malloc_heap_reuse()
     enable_persistent_compile_cache()
 
-    import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    small = args.small
-    if small is None:
-        small = jax.devices()[0].platform == "cpu"
-
     names = list(BENCHES) if args.config == "all" else [args.config]
-    results = []
-    for name in names:
-        res = BENCHES[name](small)
-        res["small"] = small
-        results.append(res)
-        print(json.dumps(res), flush=True)
+
+    def resolve_platform(name):
+        """Explicit --platform wins; otherwise analysis configs pin the
+        cpu backend when the only device path is a tunneled runtime
+        (the CLIs' init_compute policy — see WORKLOADS)."""
+        if args.platform:
+            return args.platform
+        from xcorr_tpu.util.xfer import tunneled_runtime_registered
+        if WORKLOADS[name] == "analysis" and tunneled_runtime_registered():
+            return "cpu"
+        return None
+
+    plats = {n: resolve_platform(n) for n in names}
+    if len(set(plats.values())) > 1:
+        # mixed per-config platforms: the backend can only be pinned
+        # before first use, so run one subprocess per config and merge
+        import subprocess
+        import sys
+        small = args.small
+        if small is None:
+            # full scale whenever a real device runtime is registered
+            import jax._src.xla_bridge as xb
+            small = not any(n != "cpu" for n in xb._backend_factories)
+        results = []
+        for name in names:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--config", name, "--small" if small else "--full"]
+            if plats[name]:
+                cmd += ["--platform", plats[name]]
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")]
+            if not lines:
+                print(f"config {name} failed: {proc.stderr[-400:]}",
+                      flush=True)
+                continue
+            res = json.loads(lines[-1])
+            results.append(res)
+            print(json.dumps(res), flush=True)
+    else:
+        import jax
+        plat = plats[names[0]]
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        small = args.small
+        if small is None:
+            small = jax.devices()[0].platform == "cpu"
+        results = []
+        for name in names:
+            res = BENCHES[name](small)
+            res["small"] = small
+            res["platform"] = jax.devices()[0].platform
+            results.append(res)
+            print(json.dumps(res), flush=True)
 
     if args.save:
         import datetime
@@ -291,9 +346,14 @@ def main():
                 pass
         for r in results:
             merged[r["config"]] = r
+        plat_set = {r.get("platform") for r in merged.values()
+                    if r.get("platform")}
         with open(path, "w") as f:
             json.dump({
-                "platform": jax.devices()[0].platform,
+                # per-result "platform" is authoritative; the header
+                # summarizes (mixed = workload-aware backend policy)
+                "platform": (plat_set.pop() if len(plat_set) == 1
+                             else "mixed"),
                 "recorded": datetime.datetime.now(
                     datetime.timezone.utc).isoformat(timespec="seconds"),
                 "results": [merged[k] for k in BENCHES if k in merged],

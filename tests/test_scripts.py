@@ -164,6 +164,46 @@ class TestPlmaxScript:
         assert "value" in df.columns and len(df) > 0
 
 
+class TestPlatformPolicy:
+    def test_analysis_pins_cpu_on_tunneled_runtime(self, monkeypatch):
+        """Analysis CLIs pin the cpu backend when the only device path
+        is a tunneled runtime and no platform was given; an explicit
+        --platform always wins; correlate workloads are untouched."""
+        import argparse
+        import jax._src.xla_bridge as xb
+        from xcorr_tpu.scripts import utils as sutils
+
+        pinned = []
+        import jax
+        monkeypatch.setattr(
+            jax.config, "update",
+            lambda k, v: pinned.append((k, v)) if k == "jax_platforms"
+            else None)
+        monkeypatch.setattr(xb, "_backend_factories",
+                            {"cpu": None, "axon": None})
+        ns = argparse.Namespace(platform=None, nworkers=1, debug=False)
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        sutils.init_compute(ns, workload="analysis")
+        assert pinned == [("jax_platforms", "cpu")]
+
+        pinned.clear()
+        sutils.init_compute(ns, workload="correlate")
+        assert pinned == []
+
+        pinned.clear()
+        ns.platform = "tpu"
+        sutils.init_compute(ns, workload="analysis")
+        assert pinned == [("jax_platforms", "tpu")]
+
+        # no tunneled runtime registered -> analysis stays on default
+        pinned.clear()
+        ns.platform = None
+        monkeypatch.setattr(xb, "_backend_factories", {"cpu": None,
+                                                       "tpu": None})
+        sutils.init_compute(ns, workload="analysis")
+        assert pinned == []
+
+
 class TestCliMains:
     """End-to-end main() coverage for the remaining console scripts."""
 

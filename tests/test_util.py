@@ -287,6 +287,20 @@ class TestXfer:
         assert util.xfer._platform_of(_Arr()) == "tpu"
         assert not util.xfer._should_chunk(_Arr())
 
+    def test_tunneled_runtime_registered_probe(self, monkeypatch):
+        """The registration probe reads the backend factory table (no
+        client init) and keys on the tunneled-platform names."""
+        import jax._src.xla_bridge as xb
+        real = util.xfer.tunneled_runtime_registered()
+        assert real == any(
+            t in str(n).lower() for n in xb._backend_factories
+            for t in util.xfer._TUNNELED_PLATFORMS)
+        monkeypatch.setattr(xb, "_backend_factories",
+                            {"cpu": None, "axon": None})
+        assert util.xfer.tunneled_runtime_registered()
+        monkeypatch.setattr(xb, "_backend_factories", {"cpu": None})
+        assert not util.xfer.tunneled_runtime_registered()
+
     def test_prefetch_declines_when_chunked(self, monkeypatch):
         """prefetch must NOT start a monolithic copy that the chunked
         fetch cannot reuse; it should start one when the fetch will be

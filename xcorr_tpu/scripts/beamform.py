@@ -96,7 +96,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
-    cfg = utils.init_compute(args)
+    cfg = utils.init_compute(args, workload="analysis")
     attrs = utils.parse_attrs(args)
 
     from ..stream import Inventory

@@ -39,6 +39,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
+    utils.init_compute(args, workload="analysis")
 
     paths = []
     for pattern in args.snr:

@@ -77,7 +77,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
-    cfg = utils.init_compute(args)
+    cfg = utils.init_compute(args, workload="analysis")
 
     days = pd.date_range(args.start, args.end, freq="1D")
     items = [(p, d) for p in args.pair for d in days]

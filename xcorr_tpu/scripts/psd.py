@@ -77,7 +77,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
-    cfg = utils.init_compute(args)
+    cfg = utils.init_compute(args, workload="analysis")
 
     ct_ds = xio.read(args.ct, fast=True) or xio.from_netcdf(args.ct)
     from ..signal.trigger import trigger_periods

@@ -101,7 +101,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
-    cfg = utils.init_compute(args)
+    cfg = utils.init_compute(args, workload="analysis")
     attrs = utils.parse_attrs(args)
 
     days = pd.date_range(args.start, args.end, freq="1D")

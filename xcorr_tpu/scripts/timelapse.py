@@ -243,6 +243,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = utils.init_logging(args.debug)
+    utils.init_compute(args, workload="analysis")
     attrs = utils.parse_attrs(args)
 
     if args.ct == "all":

@@ -38,7 +38,7 @@ def init_logging(debug: bool = False):
     return logging.getLogger()
 
 
-def init_compute(args):
+def init_compute(args, workload: str = "correlate"):
     """Configure host-side worker count and the JAX platform.
 
     Replaces the reference's ``init_dask`` LocalCluster/scheduler bootstrap
@@ -46,12 +46,30 @@ def init_compute(args):
     ``--nworkers`` only sizes the host IO thread pool. ``--platform`` (or
     the JAX_PLATFORMS env var) pins the backend — needed because some TPU
     plugins register regardless of the env var.
+
+    ``workload="analysis"`` (the derived-analysis CLIs: snr/ct/psd/
+    beamform/plmax/swresp/timelapse) auto-pins the cpu backend when the
+    only device path is a TUNNELED runtime and no platform was given:
+    those workloads are per-op dispatch/transfer bound through a tunnel
+    (same-session measurements: snr_ct 11.1 cpu vs 0.76 tunneled-tpu
+    pair-days/s, timelapse 78 vs ~8 cells/s, beamform 1.07 vs 0.31),
+    while the correlation engine's day-scale batches still win on the
+    device (pipeline 0.25-0.37 tpu vs 0.05 cpu). On a real PCIe-attached
+    TPU host the tunnel check is false and the device is used.
     """
     n = getattr(args, "nworkers", None) or os.cpu_count() or 4
     if getattr(args, "debug", False):
         logging.getLogger().setLevel(logging.DEBUG)
     plat = getattr(args, "platform", None) or \
         os.environ.get("JAX_PLATFORMS")
+    if not plat and workload == "analysis":
+        from ..util import xfer
+        if xfer.tunneled_runtime_registered():
+            plat = "cpu"
+            logging.info(
+                "analysis workload + tunneled device runtime: pinning "
+                "the cpu backend (per-op dispatch/transfer latency "
+                "dominates through a tunnel; override with --platform)")
     if plat:
         import jax
         try:

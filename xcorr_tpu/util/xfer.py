@@ -23,7 +23,7 @@ import os
 
 import numpy as np
 
-__all__ = ["device_fetch", "prefetch"]
+__all__ = ["device_fetch", "prefetch", "tunneled_runtime_registered"]
 
 #: platforms reached through a forwarded/tunneled runtime, where
 #: monolithic multi-hundred-MB reads degrade (measured; module
@@ -99,6 +99,24 @@ def _should_chunk(arr) -> bool:
             _platform_of(arr) not in _TUNNELED_PLATFORMS:
         return False  # real link: single copy is strictly better
     return True
+
+
+def tunneled_runtime_registered() -> bool:
+    """Whether a tunneled-runtime PJRT plugin (see
+    ``_TUNNELED_PLATFORMS``) is REGISTERED with jax — checked against
+    the backend factory table, which fills at ``import jax`` time, so
+    this never initializes a client (creating one through a dead
+    tunnel can block for tens of minutes). Used by the analysis CLIs
+    to pin the cpu backend when the only device path is a tunnel:
+    derived-analysis workloads are per-op dispatch/transfer bound
+    there (measured 3-15x faster on the local host), while the
+    correlation engine's day-scale batches still win on the device."""
+    try:
+        import jax._src.xla_bridge as xb
+        names = {str(n).lower() for n in xb._backend_factories}
+    except Exception:
+        return False
+    return any(t in n for n in names for t in _TUNNELED_PLATFORMS)
 
 
 def prefetch(arr) -> bool:
