@@ -271,8 +271,11 @@ def measure_e2e(small):
             # other and with the next chunk, so the summed readback
             # stage can EXCEED the campaign wall — clamp from below by
             # the measured non-transfer stage time instead of zero.
+            # 'fetch-archive' nests INSIDE 'prepare' (StageTimer sums
+            # per stage, so adding both would double-count it).
             host_side = sum(v["wall_s"] for k, v in stages.items()
-                            if k != "device-readback")
+                            if k not in ("device-readback",
+                                         "fetch-archive"))
             sec_pcie = max(wall - readback, host_side) / (
                 ndays * pair_day)
             out["projected_pair_year_s_v5e8_pcie_host"] = round(

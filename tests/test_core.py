@@ -385,6 +385,65 @@ class TestDeviceEngine:
             np.testing.assert_allclose(d_dev["cc"].values,
                                        d_host["cc"].values, atol=5e-6)
 
+    def test_device_bulk_archive_jitter_canonical_shapes(self):
+        """A day whose archive data starts late must NOT change the
+        compiled executable shapes (offsets/span lengths align to the
+        REQUESTED fetch grid, not the returned trace), and windows
+        overlapping the gap are flagged missing instead of correlating
+        zero-fill."""
+        from xcorr_tpu.parallel import device_process
+        from xcorr_tpu.parallel.engine import _pipeline_cache
+
+        JIT = 30.0  # seconds of jitter on receiver A's span head
+
+        def jitter_client(mode):
+            class JitterClient(SyntheticClient):
+                def get_waveforms(self, receiver=None, **kw):
+                    st = super().get_waveforms(receiver=receiver, **kw)
+                    if receiver == "IM.H03S1..EDH":
+                        for tr in st:
+                            n = int(round(JIT * tr.stats.sampling_rate))
+                            if mode == "extend":
+                                # archive returned MORE than requested
+                                tr.data = np.concatenate(
+                                    [np.zeros(n, tr.data.dtype), tr.data])
+                                tr.stats.starttime = \
+                                    tr.stats.starttime - JIT
+                            else:  # "trim": data starts late
+                                tr.data = tr.data[n:]
+                                tr.stats.starttime = \
+                                    tr.stats.starttime + JIT
+                            tr.stats.npts = tr.data.size
+                    return st
+            return JitterClient(
+                sampling_rate=FS,
+                delays={"IM.H03S1..EDH": 0.0, "IU.RAR.10.BHZ": DELAY},
+                source_period=600.0, source_amplitude=20.0)
+
+        ds_clean = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        device_process(ds_clean, client=make_client(), verb=0)
+        assert (ds_clean["status"].values == 1).all()
+        keys_before = set(_pipeline_cache)
+
+        # an over-long trace is pure jitter: every window stays valid,
+        # NO new executable compiles, results identical to the clean run
+        ds_ext = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        device_process(ds_ext, client=jitter_client("extend"), verb=0)
+        assert set(_pipeline_cache) == keys_before
+        assert (ds_ext["status"].values == 1).all()
+        np.testing.assert_allclose(ds_ext["cc"].values,
+                                   ds_clean["cc"].values, atol=5e-6)
+
+        # a late-starting trace flags the clipped window missing instead
+        # of correlating zero-fill; later windows match the clean run
+        ds_jit = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        device_process(ds_jit, client=jitter_client("trim"), verb=0)
+        stat = ds_jit["status"].values[0]
+        assert stat[0] == -1 and (stat[1:] == 1).all(), stat
+        np.testing.assert_allclose(ds_jit["cc"].values[0, 1:],
+                                   ds_clean["cc"].values[0, 1:],
+                                   atol=5e-6)
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

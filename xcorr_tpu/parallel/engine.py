@@ -68,9 +68,10 @@ def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
                   offsets_a, offsets_b,
                   npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
                   resp_a, resp_b, buf_out, mesh=None):
-    # offsets are CANONICAL (span re-based at window 0), so the key —
-    # and the compiled executable, in-process and in the persistent
-    # cache — repeats day-over-day and across worker processes
+    # offsets are CANONICAL (window positions on the REQUESTED fetch
+    # grid, invariant to what the archive returned), so the key — and
+    # the compiled executable, in-process and in the persistent
+    # cache — repeats chunk-over-chunk and across worker processes
     key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
            span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
            npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
@@ -99,7 +100,7 @@ def _chain_compilable(ops_list):
 
 def _prepare_pair(dataset, ip, client, inventory, operations, times,
                   window_length, buffer, retry_missing, status, timer,
-                  kwargs, caches=None):
+                  kwargs, caches):
     """Fetch raw spans + window offsets for one pair; mark failures in
     ``status``; return a list of task dicts (one per response epoch;
     empty when nothing is runnable).
@@ -111,7 +112,15 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     PER PAIR. ``caches["fetch"]`` memoizes the archive read per
     (receiver, span); ``caches["span"]`` memoizes the canonicalized
     float32 span so tasks from different pairs share ONE array object,
-    which the launch assembly then pools into a single device row."""
+    which the launch assembly then pools into a single device row.
+
+    Buffers and window offsets are aligned to the REQUESTED sample
+    grid, not to whatever trace the archive returned: a day whose data
+    starts late or ends short lands shifted inside a zero-filled
+    grid-length buffer, windows that fall outside the real data are
+    flagged missing, and the executable shapes (span length + offset
+    tuples) stay identical chunk-over-chunk and process-over-process
+    regardless of archive jitter."""
     pair = str(dataset.coords["pair"].values[ip])
     r_a, r_b = util.receiver.split_pair(pair)[:2]
     cha_a = util.receiver.get_receiver_channel(r_a)
@@ -136,35 +145,26 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     t1 = times[work[-1]] + pd.Timedelta(seconds=window_length / 2 + buffer)
     span = (t1 - t0).total_seconds()
 
-    def fetch_raw(receiver):
+    def fetch_span(receiver):
+        """Fetch the chunk-wide union span for this receiver when
+        device_process_bulk marked it profitable, the pending-window
+        span otherwise. Returns ``(trace_or_None, req_t0, req_span)``
+        — the REQUEST defines the canonical sample grid everything
+        downstream aligns to."""
+        u = caches.get("union", {}).get(receiver)
+        if u is not None:
+            req_t0, req_span = u[0], (u[1] - u[0]).total_seconds()
+        else:
+            req_t0, req_span = t0, span
         st = client.get_waveforms(
-            receiver=receiver, time=t0 + pd.Timedelta(seconds=span / 2),
-            centered=True, duration=span, buffer=0.0, verb=0, **kwargs)
-        if not len(st):
-            return None
-        return st[0]
-
-    def fetch_union(receiver):
-        """Fetch the chunk-wide union span for this receiver (set up by
-        device_process_bulk when profitable); the per-task span
-        otherwise. window_offsets indexes off tr.stats.starttime, so a
-        longer covering trace is transparent to the window math."""
-        u = (caches.get("union") or {}).get(receiver) if caches else None
-        if u is None:
-            return fetch_raw(receiver)
-        ut0, ut1 = u
-        span_u = (ut1 - ut0).total_seconds()
-        st = client.get_waveforms(
-            receiver=receiver, time=ut0 + pd.Timedelta(seconds=span_u / 2),
-            centered=True, duration=span_u, buffer=0.0, verb=0, **kwargs)
-        if not len(st):
-            return None
-        return st[0]
+            receiver=receiver,
+            time=req_t0 + pd.Timedelta(seconds=req_span / 2),
+            centered=True, duration=req_span, buffer=0.0, verb=0,
+            **kwargs)
+        return (st[0] if len(st) else None), req_t0, req_span
 
     def fetch_cached(receiver):
-        if caches is None:
-            return fetch_raw(receiver)
-        u = (caches.get("union") or {}).get(receiver)
+        u = caches.get("union", {}).get(receiver)
         key = (receiver,
                u[0].value if u else t0.value,
                round((u[1] - u[0]).total_seconds(), 6) if u
@@ -173,21 +173,29 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         with caches["lock"]:
             ent = caches["fetch"].get(key)
             if ent is None:
-                ent = caches["fetch"][key] = [threading.Event(), None]
+                # [done, result, ok]: ok False means the owner RAISED
+                # (not merely found no data) — waiters then fetch
+                # independently instead of inheriting a transient error
+                ent = caches["fetch"][key] = [threading.Event(), None,
+                                              False]
                 owner = True
             else:
                 owner = False
         if owner:
             try:
-                ent[1] = fetch_union(receiver)
+                ent[1] = fetch_span(receiver)
+                ent[2] = True
             finally:
                 ent[0].set()
-        else:
-            ent[0].wait()
+            return ent[1]
+        ent[0].wait()
+        if not ent[2]:
+            return fetch_span(receiver)
         return ent[1]
 
     with timer("fetch-archive"):
-        tr_a, tr_b = fetch_cached(r_a), fetch_cached(r_b)
+        (tr_a, gt0_a, gspan_a) = fetch_cached(r_a)
+        (tr_b, gt0_b, gspan_b) = fetch_cached(r_b)
     if tr_a is None or tr_b is None:
         for it in work:
             status[ip, it] = -1
@@ -197,6 +205,13 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     fs_b = tr_b.stats.sampling_rate
     npts_raw_a = int(round((window_length + 2 * buffer) * fs_a))
     npts_raw_b = int(round((window_length + 2 * buffer) * fs_b))
+    # canonical grid length + where the returned trace sits on it
+    need_a = int(round(gspan_a * fs_a))
+    need_b = int(round(gspan_b * fs_b))
+    shift_a = int(round((pd.Timestamp(tr_a.stats.starttime.ns)
+                         - gt0_a).total_seconds() * fs_a))
+    shift_b = int(round((pd.Timestamp(tr_b.stats.starttime.ns)
+                         - gt0_b).total_seconds() * fs_b))
 
     # per-WINDOW response epochs: an instrument swap mid-span must not
     # deconvolve later windows with the earlier response (host-path
@@ -214,25 +229,32 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
                 ra = rb = None
         resp_pairs.append((ra, rb))
 
-    # static per-window sample offsets into each receiver's raw span
-    def window_offsets(tr, npts_raw, fs):
+    # static per-window sample offsets on the REQUESTED grid; a window
+    # is usable only when it lies fully inside BOTH the real trace and
+    # the grid buffer (archive jitter flags windows missing instead of
+    # correlating zero-fill)
+    def window_offsets(tr, npts_raw, fs, gt0, need, shift):
         idx, starts = [], []
         for it in work:
             start = (times[it] - pd.Timedelta(
                 seconds=window_length / 2 + buffer)
-                - pd.Timestamp(tr.stats.starttime.ns)).total_seconds()
-            i0 = int(round(start * fs))
-            if i0 < 0 or i0 + npts_raw > tr.stats.npts:
+                - gt0).total_seconds()
+            g0 = int(round(start * fs))   # grid offset
+            i0 = g0 - shift               # trace offset
+            if i0 < 0 or i0 + npts_raw > tr.stats.npts or \
+                    g0 < 0 or g0 + npts_raw > need:
                 idx.append(None)
                 starts.append(None)
                 continue
-            idx.append(i0)
+            idx.append(g0)
             # actual window start time (sample-aligned, after the buffer)
             starts.append(tr.stats.starttime + i0 / fs + buffer)
         return idx, starts
 
-    ia, off_a = window_offsets(tr_a, npts_raw_a, fs_a)
-    ib, off_b = window_offsets(tr_b, npts_raw_b, fs_b)
+    ia, off_a = window_offsets(tr_a, npts_raw_a, fs_a, gt0_a, need_a,
+                               shift_a)
+    ib, off_b = window_offsets(tr_b, npts_raw_b, fs_b, gt0_b, need_b,
+                               shift_b)
     good = [k for k in range(len(work))
             if ia[k] is not None and ib[k] is not None]
     for k in range(len(work)):
@@ -250,43 +272,37 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
               _response_key(resp_pairs[k][1]))
         epochs.setdefault(rk, []).append(k)
 
-    def canonicalize(tr, idx, subset, npts_raw):
-        """Shared-cache mode (bulk calls): return the WHOLE fetched
-        trace as one float32 array, memoized per trace, with offsets
-        absolute — every task (any pair, any day) drawing on this
-        receiver's span then holds the SAME array object, which the
+    def canonicalize(tr, idx, subset, need, shift):
+        """Return the receiver's span as ONE grid-length float32 array
+        (zero-filled where the archive returned less than requested;
+        no valid window touches the fill — window_offsets enforced
+        that), memoized per trace so every task (any pair, any day)
+        drawing on this receiver holds the SAME object, which the
         launch assembly pools into a single device row shipped once
-        per bulk call. Offsets stay canonical chunk-over-chunk because
-        the fetch grid (span start relative to the first day) repeats.
-
-        Standalone mode (no caches): re-base the span at the subset's
-        first window — data[base : base+need] with the pure window
-        grid, identical across days/processes so the static slice
-        executable and the persistent compile cache both hit."""
-        if caches is not None:
-            need = int(tr.stats.npts)
-            rel = {k: idx[k] for k in subset}
-            key = (id(tr),)
+        per bulk call. Offsets are grid-absolute, so they repeat
+        chunk-over-chunk and across processes regardless of what the
+        archive actually returned."""
+        rel = {k: idx[k] for k in subset}
+        key = (id(tr),)
+        with caches["lock"]:
+            data = caches["span"].get(key)
+        if data is None:
+            buf = np.zeros(need, dtype=np.float32)
+            dst0, src0 = max(0, shift), max(0, -shift)
+            n = min(int(tr.stats.npts) - src0, need - dst0)
+            if n > 0:
+                buf[dst0:dst0 + n] = tr.data[src0:src0 + n]
             with caches["lock"]:
-                data = caches["span"].get(key)
-            if data is None:
-                data = np.asarray(tr.data[:need], dtype=np.float32)
-                with caches["lock"]:
-                    data = caches["span"].setdefault(key, data)
-            return data, rel, need
-        base = min(idx[k] for k in subset)
-        need = max(idx[k] for k in subset) + npts_raw - base
-        rel = {k: idx[k] - base for k in subset}
-        data = np.asarray(tr.data[base:base + need], dtype=np.float32)
+                data = caches["span"].setdefault(key, buf)
         return data, rel, need
 
     tasks = []
     for rk, subset in epochs.items():
         resp_a, resp_b = resp_pairs[subset[0]]
-        data_a, rel_a, need_a = canonicalize(tr_a, ia, subset,
-                                             npts_raw_a)
-        data_b, rel_b, need_b = canonicalize(tr_b, ib, subset,
-                                             npts_raw_b)
+        data_a, rel_a, _ = canonicalize(tr_a, ia, subset, need_a,
+                                        shift_a)
+        data_b, rel_b, _ = canonicalize(tr_b, ib, subset, need_b,
+                                        shift_b)
         # tasks sharing this key run through ONE compiled chain + batch
         # structural compatibility only — the launch concatenates each
         # task's per-window offsets, so tasks need not share an offset
@@ -405,21 +421,33 @@ def device_process_bulk(datasets, client, inventory=None,
     # Guarded per receiver: only when the union is actually smaller
     # than the per-task fetches it replaces (a sparse resume of
     # scattered days would otherwise fetch the whole gap).
-    union_bounds, union_sum = {}, {}
+    union_bounds, union_spans = {}, {}
     for dataset, geo, buf, status, ip in jobs:
+        times = geo["times"]
+        # the PENDING windows only (mirrors _prepare_pair's work set):
+        # a partial-day resume must not widen the union to done windows
+        work = [it for it in range(times.size)
+                if status[ip, it] == 0 or (retry_missing
+                                           and status[ip, it] == -1)]
+        if not work:
+            continue
         pair = str(dataset.coords["pair"].values[ip])
         r_a, r_b = util.receiver.split_pair(pair)[:2]
         half = pd.Timedelta(seconds=geo["window_length"] / 2 + buf)
-        t0, t1 = geo["times"][0] - half, geo["times"][-1] + half
+        t0, t1 = times[work[0]] - half, times[work[-1]] + half
         for r in (r_a, r_b):
             cur = union_bounds.get(r)
             union_bounds[r] = (t0, t1) if cur is None else \
                 (min(t0, cur[0]), max(t1, cur[1]))
-            union_sum[r] = union_sum.get(r, 0.0) \
-                + (t1 - t0).total_seconds()
+            # DISTINCT per-task spans: the fetch cache already dedups
+            # identical spans across pairs sharing this receiver, so
+            # the union must beat the deduped per-task cost, not the
+            # naive per-pair sum
+            union_spans.setdefault(r, set()).add((t0.value, t1.value))
     caches["union"] = {
         r: (t0, t1) for r, (t0, t1) in union_bounds.items()
-        if (t1 - t0).total_seconds() <= union_sum[r]}
+        if (t1 - t0).total_seconds() <= sum(
+            (s1 - s0) / 1e9 for s0, s1 in union_spans[r])}
 
     def prep(job):
         dataset, geo, buf, status, ip = job
@@ -507,7 +535,10 @@ def device_process_bulk(datasets, client, inventory=None,
     # one host->device transfer per unique span-stack composition: with
     # chunk-union spans, every pack of a chunk draws on the SAME pooled
     # rows, so the (multi-hundred-MB at day scale) span stack ships
-    # once and later packs reuse the resident device buffer
+    # once and later packs reuse the resident device buffer. Bounded to
+    # the last two compositions (the a/b sides of the current group —
+    # same-group packs are consecutive): scattered-day campaigns with
+    # disengaged unions must not pin every pack's stacks in HBM at once
     dev_stacks = {}
 
     def _dev_stack(pool):
@@ -522,6 +553,8 @@ def device_process_bulk(datasets, client, inventory=None,
                     host, NamedSharding(mesh, PartitionSpec()))
             else:
                 dev = jax.device_put(host)
+            while len(dev_stacks) >= 2:
+                dev_stacks.pop(next(iter(dev_stacks)))
             dev_stacks[key] = dev
         return dev
 
@@ -562,9 +595,12 @@ def device_process_bulk(datasets, client, inventory=None,
                 t0g["npts_raw_a"], t0g["npts_raw_b"], geo["npts"],
                 geo["imin"], geo["imax"], geo["normalize"],
                 t0g["resp_a"], t0g["resp_b"], t0g["buf_out"], mesh=mesh)
-        fresh = sum(0 if tuple(id(x) for x in pool) in dev_stacks
-                    else sum(a.nbytes for a in pool)
-                    for pool in (pool_a, pool_b))
+        ka = tuple(id(x) for x in pool_a)
+        kb = tuple(id(x) for x in pool_b)
+        fresh = 0 if ka in dev_stacks else sum(a.nbytes for a in pool_a)
+        if kb != ka and kb not in dev_stacks:
+            # kb == ka (autocorrelation) reuses side a's fresh transfer
+            fresh += sum(b.nbytes for b in pool_b)
         with timer("device-dispatch", nbytes=fresh, items=nused):
             raw_a = _dev_stack(pool_a)
             raw_b = _dev_stack(pool_b)

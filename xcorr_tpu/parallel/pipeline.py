@@ -152,11 +152,11 @@ class MultiSpanPipeline:
     offsets are STATIC (baked into the jit as constant-start slices —
     a traced-offset variant was tried and abandoned: XLA's buffer
     assignment for runtime-start dynamic slices from a day-scale span
-    exploded to 144 GB of HBM at B=64). Executable reuse across days
-    and worker processes comes from the CALLER canonicalizing spans so
-    the offset grid repeats day-over-day (the engine re-bases each
-    fetched span at its first window, making offsets the pure
-    arithmetic window grid).
+    exploded to 144 GB of HBM at B=64). Executable reuse across chunks
+    and worker processes comes from the CALLER canonicalizing spans to
+    the REQUESTED fetch grid (the engine zero-fills grid-length
+    buffers and emits window offsets as positions on that grid, so the
+    tuples repeat regardless of archive jitter).
 
     Multiple (pair, day) tasks with a common geometry batch into ONE
     launch of one executable: B=64 measured 1.14 ms/window on v5e-1 vs
