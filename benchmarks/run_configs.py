@@ -280,7 +280,7 @@ def main():
 
     def resolve_platform(name):
         """Explicit --platform wins; otherwise analysis configs pin the
-        cpu backend when the only device path is a tunneled runtime
+        cpu backend when a tunneled device runtime is registered
         (the CLIs' init_compute policy — see WORKLOADS)."""
         if args.platform:
             return args.platform

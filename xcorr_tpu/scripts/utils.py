@@ -48,14 +48,16 @@ def init_compute(args, workload: str = "correlate"):
     plugins register regardless of the env var.
 
     ``workload="analysis"`` (the derived-analysis CLIs: snr/ct/psd/
-    beamform/plmax/swresp/timelapse) auto-pins the cpu backend when the
-    only device path is a TUNNELED runtime and no platform was given:
-    those workloads are per-op dispatch/transfer bound through a tunnel
-    (same-session measurements: snr_ct 11.1 cpu vs 0.76 tunneled-tpu
-    pair-days/s, timelapse 78 vs ~8 cells/s, beamform 1.07 vs 0.31),
-    while the correlation engine's day-scale batches still win on the
-    device (pipeline 0.25-0.37 tpu vs 0.05 cpu). On a real PCIe-attached
-    TPU host the tunnel check is false and the device is used.
+    beamform/plmax/swresp/timelapse) auto-pins the cpu backend when a
+    TUNNELED device runtime is registered (assumed to be the device
+    path) and no platform was given: those workloads are per-op
+    dispatch/transfer bound through a tunnel (same-session
+    measurements: snr_ct 11.1 cpu vs 0.76 tunneled-tpu pair-days/s,
+    timelapse 78 vs ~8 cells/s, beamform 1.07 vs 0.31), while the
+    correlation engine's day-scale batches still win on the device
+    (pipeline 0.25-0.37 tpu vs 0.05 cpu). Hosts without a tunneled
+    plugin (e.g. a real PCIe-attached TPU host) are unaffected; pass
+    ``--platform`` to override either way.
     """
     n = getattr(args, "nworkers", None) or os.cpu_count() or 4
     if getattr(args, "debug", False):

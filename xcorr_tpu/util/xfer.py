@@ -107,7 +107,8 @@ def tunneled_runtime_registered() -> bool:
     the backend factory table, which fills at ``import jax`` time, so
     this never initializes a client (creating one through a dead
     tunnel can block for tens of minutes). Used by the analysis CLIs
-    to pin the cpu backend when the only device path is a tunnel:
+    to pin the cpu backend when a tunneled device runtime is
+    registered (assumed to be the device path; --platform overrides):
     derived-analysis workloads are per-op dispatch/transfer bound
     there (measured 3-15x faster on the local host), while the
     correlation engine's day-scale batches still win on the device."""
