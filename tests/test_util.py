@@ -301,6 +301,33 @@ class TestXfer:
         monkeypatch.setattr(xb, "_backend_factories", {"cpu": None})
         assert not util.xfer.tunneled_runtime_registered()
 
+    def test_device_ship_roundtrip_and_serialize_gate(self, monkeypatch):
+        """device_ship matches device_put semantics either way; the
+        serialized branch (opt-in; measured a loss on the production
+        campaign, kept for duplex-contended links) blocks until the
+        transfer is done and still returns the same values."""
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        monkeypatch.delenv("XCORR_WIRE_SERIALIZE", raising=False)
+        assert not util.xfer._serialize_wire()
+        dev = util.xfer.device_ship(a)
+        np.testing.assert_array_equal(np.asarray(dev), a)
+        monkeypatch.setenv("XCORR_WIRE_SERIALIZE", "1")
+        assert util.xfer._serialize_wire()
+        dev = util.xfer.device_ship(a)
+        np.testing.assert_array_equal(np.asarray(dev), a)
+        monkeypatch.setenv("XCORR_WIRE_SERIALIZE", "0")
+        assert not util.xfer._serialize_wire()
+
+    def test_device_ship_with_sharding(self):
+        import jax
+        from jax.sharding import (Mesh, NamedSharding,
+                                  PartitionSpec as P)
+        devs = np.asarray(jax.devices("cpu")[:1])
+        mesh = Mesh(devs, ("batch",))
+        a = np.ones((4, 8), np.float32)
+        dev = util.xfer.device_ship(a, NamedSharding(mesh, P()))
+        np.testing.assert_array_equal(np.asarray(dev), a)
+
     def test_prefetch_declines_when_chunked(self, monkeypatch):
         """prefetch must NOT start a monolithic copy that the chunked
         fetch cannot reuse; it should start one when the fetch will be

@@ -542,17 +542,20 @@ def device_process_bulk(datasets, client, inventory=None,
     dev_stacks = {}
 
     def _dev_stack(pool):
-        import jax
         key = tuple(id(a) for a in pool)
         dev = dev_stacks.get(key)
         if dev is None:
             host = pool[0][None] if len(pool) == 1 else np.stack(pool)
+            sharding = None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
-                dev = jax.device_put(
-                    host, NamedSharding(mesh, PartitionSpec()))
-            else:
-                dev = jax.device_put(host)
+                sharding = NamedSharding(mesh, PartitionSpec())
+            # util.xfer.device_ship: plain async device_put by default;
+            # under XCORR_WIRE_SERIALIZE=1 the span transfer takes the
+            # wire lock so it cannot overlap a readback (measured a
+            # LOSS at production shapes — see the xfer.py lock note —
+            # kept opt-in for links where duplex contention dominates)
+            dev = util.xfer.device_ship(host, sharding)
             while len(dev_stacks) >= 2:
                 dev_stacks.pop(next(iter(dev_stacks)))
             dev_stacks[key] = dev

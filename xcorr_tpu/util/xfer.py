@@ -20,10 +20,34 @@ would only add per-slice dispatches and an extra host copy. Set
 ``0`` to disable chunking entirely.
 """
 import os
+import threading
+from contextlib import nullcontext
 
 import numpy as np
 
-__all__ = ["device_fetch", "prefetch", "tunneled_runtime_registered"]
+__all__ = ["device_fetch", "device_ship", "prefetch",
+           "tunneled_runtime_registered"]
+
+# Serializes WIRE transfers (h2d and d2h) within this process
+# (XCORR_WIRE_SERIALIZE=1): device_fetch holds this lock for a whole
+# array's readback and device_ship holds it across device_put +
+# block_until_ready (the put alone returns before the wire moves — the
+# plugin queues host memory). Motivated by a microbenchmark where a
+# concurrent h2d dragged chunked d2h from 31-42 to ~14 MB/s, but
+# MEASURED A LOSS on the production campaign (same-session off/on/off/
+# on A/B, 12 pair-days: 37.8/44.2 s overlapped vs 42.9/54.4 s
+# serialized — readback rates were UNCHANGED by serialization while
+# dispatch gained 15-20 s of now-synchronous h2d wait; in the real
+# flow the span uploads ride readback gaps instead of contending).
+# Kept opt-in for link regimes where duplex contention does dominate.
+_WIRE_LOCK = threading.RLock()
+
+
+def _serialize_wire() -> bool:
+    env = os.environ.get("XCORR_WIRE_SERIALIZE")
+    if env is None:
+        return False
+    return env not in ("0", "", "false", "False")
 
 #: platforms reached through a forwarded/tunneled runtime, where
 #: monolithic multi-hundred-MB reads degrade (measured; module
@@ -170,16 +194,38 @@ def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
         i0, n0, s0 = pend.pop(0)
         out[i0:i0 + n0] = np.asarray(s0)
 
-    for i in range(0, rows, r):
-        n = min(r, rows - i)
-        s = _row_slice(arr, i, n)
+    with _WIRE_LOCK if _serialize_wire() else nullcontext():
+        for i in range(0, rows, r):
+            n = min(r, rows - i)
+            s = _row_slice(arr, i, n)
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+            pend.append((i, n, s))
+            if len(pend) > 2:
+                drain()
+        while pend:
+            drain()
+    return out
+
+
+def device_ship(host, sharding=None):
+    """Host->device counterpart of :func:`device_fetch`: a
+    ``jax.device_put`` that, under ``XCORR_WIRE_SERIALIZE=1``, holds the
+    wire lock across put + ``block_until_ready`` so the transfer cannot
+    overlap a readback (the put alone queues host memory and returns
+    before any bytes move, so a lock around it wouldn't serialize
+    anything). Plain async ``device_put`` otherwise."""
+    import jax
+    if not _serialize_wire():
+        return jax.device_put(host) if sharding is None \
+            else jax.device_put(host, sharding)
+    with _WIRE_LOCK:
+        dev = jax.device_put(host) if sharding is None \
+            else jax.device_put(host, sharding)
         try:
-            s.copy_to_host_async()
+            jax.block_until_ready(dev)
         except Exception:
             pass
-        pend.append((i, n, s))
-        if len(pend) > 2:
-            drain()
-    while pend:
-        drain()
-    return out
+    return dev
