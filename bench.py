@@ -193,7 +193,9 @@ def measure_e2e(small):
     # warm transfers), keeping the cold one for context.
     import jax
     import jax.numpy as jnp
-    from xcorr_tpu.util.xfer import device_fetch
+    from xcorr_tpu.util.xfer import (device_fetch,
+                                     tunneled_runtime_registered,
+                                     wire_pack_enabled)
     mk = jax.jit(lambda k: jax.random.normal(k, (8, 1_620_000),
                                              jnp.float32))
     rates = []
@@ -258,6 +260,11 @@ def measure_e2e(small):
             "tunnel_d2h_MBps": round(d2h_MBps, 1),
             "tunnel_d2h_MBps_cold": round(d2h_cold, 1),
             "tunnel_h2d_MBps": round(h2d_MBps, 1),
+            # int16 block-float readback codec state (tunnel-only;
+            # docs/PARITY.md "Tunneled-link wire codec"): quantization
+            # <=1.6e-5 absolute on normalized CCFs, f32 elsewhere
+            "wire_pack": ("i16" if wire_pack_enabled()
+                          and tunneled_runtime_registered() else "off"),
             "stage_breakdown_s": {k: v["wall_s"]
                                   for k, v in stages.items()},
         }

@@ -444,6 +444,25 @@ class TestDeviceEngine:
                                    ds_clean["cc"].values[0, 1:],
                                    atol=5e-6)
 
+    def test_device_process_wire_packed(self, monkeypatch):
+        """With the int16 wire codec forced on, the engine's readback
+        decodes into CCFs within the codec's quantization bound of the
+        unpacked run (normalized |cc| <= 1 -> atol ~1.6e-5)."""
+        from xcorr_tpu import util
+        from xcorr_tpu.parallel import device_process
+
+        ds_ref = init_ds(endtime=pd.Timestamp("2014-01-01T03:00"))
+        device_process(ds_ref, client=make_client(), verb=0)
+
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T03:00"))
+        device_process(ds, client=make_client(), verb=0)
+
+        assert (ds["status"].values == 1).all()
+        np.testing.assert_allclose(ds["cc"].values, ds_ref["cc"].values,
+                                   atol=2e-5)
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

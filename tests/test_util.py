@@ -287,6 +287,61 @@ class TestXfer:
         assert util.xfer._platform_of(_Arr()) == "tpu"
         assert not util.xfer._should_chunk(_Arr())
 
+    def test_wire_pack_round_trip_error_bound(self, monkeypatch):
+        """int16 block-float codec: decoded values within half an LSB
+        of each ROW's scale (row_max / 32767 / 2), rows with very
+        different peaks each keeping their own resolution."""
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")  # force on cpu
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 50_000)).astype(np.float32)
+        x[1] *= 1e-4   # quiet row keeps relative resolution
+        x[2] *= 1e3
+        x[3] = 0.0     # all-zero row must not divide by zero
+        packed = util.xfer.pack_for_wire(jnp.asarray(x))
+        assert isinstance(packed, util.xfer.PackedWire)
+        assert packed.q.dtype == jnp.int16
+        got = util.xfer.device_fetch(packed)
+        assert got.dtype == np.float32
+        row_max = np.abs(x).max(axis=-1, keepdims=True)
+        lsb = np.where(row_max > 0, row_max, 1.0) / 32767.0
+        # 0.5 LSB quantization + ~1e-3 LSB of f32 divide/multiply
+        # rounding in the encode/decode pair (measured 0.5006 max)
+        assert (np.abs(got - x) <= 0.505 * lsb).all()
+        assert (got[3] == 0).all()
+        # out= path decodes in place
+        out = np.empty_like(x)
+        got2 = util.xfer.device_fetch(util.xfer.pack_for_wire(
+            jnp.asarray(x)), out=out)
+        assert got2 is out
+        np.testing.assert_array_equal(out, got)
+        # prefetch accepts the wrapper
+        util.xfer.prefetch(util.xfer.pack_for_wire(jnp.asarray(x)))
+
+    def test_wire_pack_policy_gates(self, monkeypatch):
+        """Codec policy: off everywhere with XCORR_WIRE_PACK=0; on a
+        real backend (cpu) it stays off unless forced; small or
+        non-f32 arrays always pass through."""
+        import jax.numpy as jnp
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        x = jnp.ones((4, 1000), jnp.float32)
+        monkeypatch.delenv("XCORR_WIRE_PACK", raising=False)
+        assert util.xfer.pack_for_wire(x) is x  # cpu is not tunneled
+        monkeypatch.setenv("XCORR_WIRE_PACK", "0")
+        assert util.xfer.pack_for_wire(x) is x
+        assert not util.xfer.wire_pack_enabled()
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        assert isinstance(util.xfer.pack_for_wire(x), util.xfer.PackedWire)
+        # int arrays and host arrays pass through even when forced
+        xi = jnp.ones((4, 1000), jnp.int32)
+        assert util.xfer.pack_for_wire(xi) is xi
+        xh = np.ones((4, 1000), np.float32)
+        assert util.xfer.pack_for_wire(xh) is xh
+        # below the size gate
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 10**9)
+        assert util.xfer.pack_for_wire(x) is x
+
     def test_tunneled_runtime_registered_probe(self, monkeypatch):
         """The registration probe reads the backend factory table (no
         client init) and keys on the tunneled-platform names."""

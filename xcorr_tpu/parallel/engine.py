@@ -614,8 +614,11 @@ def device_process_bulk(datasets, client, inventory=None,
                   f"{fresh / 1e6:.0f} MB fresh span transfer)")
         with timer("device-dispatch", nbytes=0, items=nused):
             # slice off the bucket-pad rows ON DEVICE (async) so the
-            # tunnel/PCIe readback only moves real windows
-            ccf_dev = pipe.launch(raw_a, raw_b)[:nused]
+            # tunnel/PCIe readback only moves real windows; on tunneled
+            # links additionally pack to int16 block-float (4x fewer
+            # readback bytes, util.xfer.pack_for_wire policy comment)
+            ccf_dev = util.xfer.pack_for_wire(
+                pipe.launch(raw_a, raw_b)[:nused])
             # kick the device->host copy off NOW (non-blocking): the
             # transfer then rides the runtime while the remaining packs
             # fetch/dispatch and while finalize scatters earlier

@@ -131,10 +131,12 @@ class FusedPipeline:
         # a day of windows (~52 MB) degrades monolithic there
         if not self._warm:
             with self._compile_lock:
-                out = util.xfer.device_fetch(self._step(x_raw, y_raw))
+                out = util.xfer.device_fetch(
+                    util.xfer.pack_for_wire(self._step(x_raw, y_raw)))
                 self._warm = True
                 return out
-        return util.xfer.device_fetch(self._step(x_raw, y_raw))
+        return util.xfer.device_fetch(
+            util.xfer.pack_for_wire(self._step(x_raw, y_raw)))
 
 
 class MultiSpanPipeline:
@@ -240,4 +242,5 @@ class MultiSpanPipeline:
 
     def __call__(self, raw_a, raw_b):
         """Synchronous :meth:`launch` returning a host array."""
-        return util.xfer.device_fetch(self.launch(raw_a, raw_b))
+        return util.xfer.device_fetch(
+            util.xfer.pack_for_wire(self.launch(raw_a, raw_b)))
