@@ -342,6 +342,31 @@ class TestXfer:
         monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 10**9)
         assert util.xfer.pack_for_wire(x) is x
 
+    def test_ship_packed_round_trip(self, monkeypatch):
+        """h2d codec: the decoded device array is within half an LSB
+        per row of the host input; policy gates mirror the d2h side."""
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(3, 20_000)).astype(np.float32)
+        x[1] *= 1e-3
+        x[2] = 0.0
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        dev = util.xfer.ship_packed(x)
+        got = np.asarray(dev)
+        assert got.dtype == np.float32
+        row_max = np.abs(x).max(axis=-1, keepdims=True)
+        lsb = np.where(row_max > 0, row_max, 1.0) / 32767.0
+        assert (np.abs(got - x) <= 0.505 * lsb).all()
+        assert (got[2] == 0).all()
+        # disabled -> bit-identical plain ship
+        monkeypatch.setenv("XCORR_WIRE_PACK", "0")
+        np.testing.assert_array_equal(np.asarray(util.xfer.ship_packed(x)),
+                                      x)
+        # cpu backend without the env forced -> plain ship
+        monkeypatch.delenv("XCORR_WIRE_PACK", raising=False)
+        np.testing.assert_array_equal(np.asarray(util.xfer.ship_packed(x)),
+                                      x)
+
     def test_tunneled_runtime_registered_probe(self, monkeypatch):
         """The registration probe reads the backend factory table (no
         client init) and keys on the tunneled-platform names."""

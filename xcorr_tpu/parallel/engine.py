@@ -550,12 +550,16 @@ def device_process_bulk(datasets, client, inventory=None,
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
                 sharding = NamedSharding(mesh, PartitionSpec())
-            # util.xfer.device_ship: plain async device_put by default;
-            # under XCORR_WIRE_SERIALIZE=1 the span transfer takes the
-            # wire lock so it cannot overlap a readback (measured a
-            # LOSS at production shapes — see the xfer.py lock note —
-            # kept opt-in for links where duplex contention dominates)
-            dev = util.xfer.device_ship(host, sharding)
+            # util.xfer.ship_packed: on tunneled links the span stack
+            # crosses the wire as int16 block-float and decodes on
+            # device (half the h2d bytes; quantization averages down
+            # ~1/sqrt(npts) through the correlation — docstring);
+            # plain async device_put elsewhere. Under
+            # XCORR_WIRE_SERIALIZE=1 the transfer takes the wire lock
+            # so it cannot overlap a readback (measured a LOSS at
+            # production shapes — see the xfer.py lock note — kept
+            # opt-in for links where duplex contention dominates)
+            dev = util.xfer.ship_packed(host, sharding)
             while len(dev_stacks) >= 2:
                 dev_stacks.pop(next(iter(dev_stacks)))
             dev_stacks[key] = dev

@@ -26,7 +26,8 @@ from contextlib import nullcontext
 import numpy as np
 
 __all__ = ["device_fetch", "device_ship", "prefetch", "pack_for_wire",
-           "PackedWire", "wire_pack_enabled", "tunneled_runtime_registered"]
+           "ship_packed", "PackedWire", "wire_pack_enabled",
+           "tunneled_runtime_registered"]
 
 # Serializes WIRE transfers (h2d and d2h) within this process
 # (XCORR_WIRE_SERIALIZE=1): device_fetch holds this lock for a whole
@@ -222,6 +223,62 @@ def wire_pack_enabled(arr=None) -> bool:
             or getattr(arr, "nbytes", 0) < _PACK_MIN_BYTES):
         return False
     return forced or _platform_of(arr) in _TUNNELED_PLATFORMS
+
+
+_unpack_jit = None
+
+
+def _h2d_pack_engages(host) -> bool:
+    """h2d policy twin of :func:`wire_pack_enabled` for HOST arrays
+    (no device to inspect): same env gate, engages by default only
+    when the LIVE default backend is a tunneled runtime."""
+    env = os.environ.get(_PACK_ENV)
+    if env is not None and env in ("0", "", "false", "False", "off"):
+        return False
+    if (not isinstance(host, np.ndarray) or host.dtype != np.float32
+            or host.ndim < 2 or host.nbytes < _PACK_MIN_BYTES):
+        return False
+    if env is not None:  # any non-disabling value forces it on
+        return True
+    try:
+        import jax
+        version = str(jax.devices()[0].client.platform_version).lower()
+    except Exception:
+        return False
+    return any(t in version for t in _TUNNELED_PLATFORMS)
+
+
+def ship_packed(host, sharding=None):
+    """Host->device ship of a float32 array through the int16
+    block-float wire codec (same policy/env as :func:`pack_for_wire`,
+    h2d direction): per-row scale computed on host, int16 payload
+    crosses the wire, decode multiply runs ON DEVICE. Returns the
+    decoded float32 device array — callers see the same contract as
+    :func:`device_ship`, minus half the wire bytes.
+
+    Input quantization is ``<=0.5 * row_max / 32767`` per sample; for
+    the span->window->normalized-CC path the noise is white and
+    averages down by ``1/sqrt(npts)`` through the correlation
+    (~1e-7 relative at day scale), far below the d2h codec's own
+    bound. Falls back to :func:`device_ship` when the codec does not
+    engage (real PCIe hosts, CPU backend, non-f32, small arrays).
+    """
+    if not _h2d_pack_engages(host):
+        return device_ship(host, sharding)
+    import jax
+
+    a = np.abs(host).max(axis=-1, keepdims=True)
+    scale = (np.where((a > 0) & np.isfinite(a), a, 1.0)
+             / 32767.0).astype(np.float32)
+    q = np.clip(np.round(host / scale), -32767.0, 32767.0).astype(np.int16)
+    qd = device_ship(q, sharding)
+    sd = device_ship(scale, sharding)
+    global _unpack_jit
+    if _unpack_jit is None:
+        import jax.numpy as jnp
+        _unpack_jit = jax.jit(
+            lambda qq, ss: qq.astype(jnp.float32) * ss)
+    return _unpack_jit(qd, sd)
 
 
 def pack_for_wire(arr):
