@@ -263,8 +263,10 @@ def measure_e2e(small):
             # int16 block-float readback codec state (tunnel-only;
             # docs/PARITY.md "Tunneled-link wire codec"): quantization
             # <=1.6e-5 absolute on normalized CCFs, f32 elsewhere
-            "wire_pack": ("i16" if wire_pack_enabled()
-                          and tunneled_runtime_registered() else "off"),
+            "wire_pack": ("off" if not wire_pack_enabled()
+                          else "i16" if tunneled_runtime_registered()
+                          or os.environ.get("XCORR_WIRE_PACK")
+                          else "off"),
             "stage_breakdown_s": {k: v["wall_s"]
                                   for k, v in stages.items()},
         }

@@ -344,7 +344,8 @@ class TestXfer:
 
     def test_ship_packed_round_trip(self, monkeypatch):
         """h2d codec: the decoded device array is within half an LSB
-        per row of the host input; policy gates mirror the d2h side."""
+        (of the MEAN-CENTERED row peak) of the host input; policy
+        gates mirror the d2h side."""
         monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
         rng = np.random.default_rng(2)
         x = rng.normal(size=(3, 20_000)).astype(np.float32)
@@ -366,6 +367,56 @@ class TestXfer:
         monkeypatch.delenv("XCORR_WIRE_PACK", raising=False)
         np.testing.assert_array_equal(np.asarray(util.xfer.ship_packed(x)),
                                       x)
+
+    def test_ship_packed_dc_offset_mean_centered(self, monkeypatch):
+        """A raw-count DC offset must NOT set the quantization scale:
+        rows are mean-centered before packing (the offset rides a f32
+        side array), so the ambient signal keeps its resolution.
+        Regression for the review finding that packing raw spans on
+        the raw peak crushes offset-ridden data."""
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        rng = np.random.default_rng(3)
+        ac = rng.normal(scale=10.0, size=(2, 20_000)).astype(np.float32)
+        x = ac + np.float32(1e5)  # offset 1e4x the signal amplitude
+        got = np.asarray(util.xfer.ship_packed(x))
+        # error bound from the CENTERED peak (~45), not the raw 1e5
+        lsb = np.abs(ac - ac.mean(-1, keepdims=True)).max() / 32767.0
+        err = np.abs(got - x)
+        assert err.max() <= 0.6 * lsb + 1e-2  # f32 mean add-back noise
+        # the naive raw-peak scale would round to ~3-count steps
+        assert err.max() < 1e5 / 32767.0 / 4
+
+    def test_ship_packed_crest_and_nonfinite_fallback(self, monkeypatch):
+        """Rows with a transient (crest factor > 64) or NaN/Inf make
+        the whole stack ship UNPACKED — bit-identical float32."""
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 20_000)).astype(np.float32)
+        x[1, 500] = 5e4  # spike: crest ~5e4 >> 64
+        np.testing.assert_array_equal(np.asarray(util.xfer.ship_packed(x)),
+                                      x)
+        y = rng.normal(size=(2, 20_000)).astype(np.float32)
+        y[0, 3] = np.nan
+        np.testing.assert_array_equal(np.asarray(util.xfer.ship_packed(y)),
+                                      y)
+
+    def test_wire_pack_nonfinite_rows_decode_nan(self, monkeypatch):
+        """d2h codec: a row containing NaN/Inf decodes to ALL-NaN
+        (int16 cannot carry a NaN; finite garbage would be worse),
+        while clean rows decode normally."""
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(3, 10_000)).astype(np.float32)
+        x[1, 7] = np.nan
+        got = util.xfer.device_fetch(util.xfer.pack_for_wire(
+            jnp.asarray(x)))
+        assert np.isnan(got[1]).all()
+        lsb = np.abs(x[[0, 2]]).max(axis=-1, keepdims=True) / 32767.0
+        assert (np.abs(got[[0, 2]] - x[[0, 2]]) <= 0.505 * lsb).all()
 
     def test_tunneled_runtime_registered_probe(self, monkeypatch):
         """The registration probe reads the backend factory table (no

@@ -141,7 +141,8 @@ def process(dataset, client, inventory=None, retry_missing: bool = False,
                 jnp.asarray(x[i:i + bsz]), jnp.asarray(y[i:i + bsz]),
                 normalize=normalize, index_min=imin, index_max=imax,
                 unbiased=False)  # bias correction dataset-wide, like ref
-            util.xfer.device_fetch(blk, out=out[i:i + bsz])
+            util.xfer.device_fetch(util.xfer.pack_for_wire(blk),
+                                   out=out[i:i + bsz])
         for b, (ip, it) in enumerate(good):
             dataset["cc"].values[ip, it] = out[b]
             status[ip, it] = 1

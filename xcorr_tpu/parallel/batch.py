@@ -50,5 +50,6 @@ def sharded_correlate(x, y, mesh=None, index_min: int = None,
                  unbiased=unbiased)
     out = jax.jit(fn, out_shardings=NamedSharding(mesh, P("batch", None)))(
         xd, yd)
-    # row-chunked on tunneled runtimes (no-op single copy elsewhere)
-    return util.xfer.device_fetch(out[:n0])
+    # row-chunked + int16-packed on tunneled runtimes (plain single
+    # copy elsewhere; codec policy in util.xfer)
+    return util.xfer.device_fetch(util.xfer.pack_for_wire(out[:n0]))

@@ -619,8 +619,8 @@ def device_process_bulk(datasets, client, inventory=None,
         with timer("device-dispatch", nbytes=0, items=nused):
             # slice off the bucket-pad rows ON DEVICE (async) so the
             # tunnel/PCIe readback only moves real windows; on tunneled
-            # links additionally pack to int16 block-float (4x fewer
-            # readback bytes, util.xfer.pack_for_wire policy comment)
+            # links additionally pack to int16 block-float (half the
+            # f32 readback bytes, util.xfer.pack_for_wire policy)
             ccf_dev = util.xfer.pack_for_wire(
                 pipe.launch(raw_a, raw_b)[:nused])
             # kick the device->host copy off NOW (non-blocking): the

@@ -146,20 +146,34 @@ def tunneled_runtime_registered() -> bool:
 
 
 # ---------------------------------------------------------------------
-# int16 block-float wire codec (tunneled d2h readbacks)
+# int16 block-float wire codec (tunneled links, both directions)
 #
-# The tunnel moves ~35 MB/s shared across both directions, and d2h is
-# the larger term of the production e2e (a pair-day of lag-clipped CCFs
-# is ~53 MB f32 = ~1.4 s of pure wire time; CLAUDE.md e2e breakdown).
-# Packing each result row to int16 with a per-row float32 scale cuts
-# the readback bytes 4x at a worst-case quantization error of
-# ``0.5 * row_max / 32767`` = 1.53e-5 of the row's peak — for
-# normalized CCFs (|cc| <= 1) that is <= 1.53e-5 absolute, far below
-# the physics but ABOVE the kernel's 5.5e-8 arithmetic error, so the
-# codec only engages where the wire is the bottleneck:
+# The tunnel moves ~35-45 MB/s shared across both directions; at
+# production shapes the wire is the e2e bottleneck (a pair-day is
+# ~53 MB of f32 CCF readback + ~35 MB of f32 span upload). Packing
+# each row to int16 with a per-row float32 scale HALVES the wire bytes
+# (f32 4 B -> i16 2 B) at a worst-case quantization error of
+# ``0.5 * row_max / 32767`` = 1.53e-5 of the row's peak:
 #
+# * d2h (``pack_for_wire``): normalized CCFs (|cc| <= 1) quantize to
+#   <= 1.53e-5 absolute — far below the physics but ABOVE the kernel's
+#   5.5e-8 arithmetic error. Rows containing non-finite values decode
+#   to all-NaN (int16 cannot carry a NaN; a whole-row NaN keeps the
+#   corruption DETECTABLE instead of casting it to finite garbage).
+# * h2d (``ship_packed``): raw spans are MEAN-CENTERED on host before
+#   quantization (the row mean ships as a float32 side array and is
+#   added back exactly on device), so a DC offset cannot consume the
+#   int16 range; rows whose crest factor ``peak/rms`` exceeds
+#   ``_PACK_CREST_MAX`` (a transient/earthquake would set the scale
+#   and crush the ambient signal the CC needs) or that contain
+#   non-finite values fall back to the unpacked f32 ship for the whole
+#   stack. Quantization noise on the survivors is white and averages
+#   down ~1/sqrt(npts) through the correlation (~1e-7 relative at day
+#   scale).
+#
+# The codec only engages where the wire is the bottleneck:
 # * default: tunneled runtimes only (``axon``); real PCIe hosts and the
-#   CPU backend read full f32 — production output is bit-unaffected.
+#   CPU backend move full f32 — production output is bit-unaffected.
 # * ``XCORR_WIRE_PACK=0`` disables it everywhere;
 #   ``XCORR_WIRE_PACK=1`` forces it on any platform (tests/benchmarks).
 #
@@ -169,26 +183,52 @@ def tunneled_runtime_registered() -> bool:
 _PACK_ENV = "XCORR_WIRE_PACK"
 #: packing below this size is not worth the extra device launch
 _PACK_MIN_BYTES = 4_000_000
+#: h2d: rows with peak/rms above this ship unpacked (scale set by a
+#: transient would quantize the ambient signal to a handful of levels;
+#: Gaussian noise has crest ~5, so 64 passes normal data and catches
+#: spikes/earthquakes/DC steps)
+_PACK_CREST_MAX = 64.0
 
 _pack_jit = None
+
+
+def _pack_env_state() -> str:
+    """Shared env gate: ``'off'`` (disabled everywhere), ``'forced'``
+    (engage on any platform), or ``'auto'`` (tunneled runtimes only)."""
+    env = os.environ.get(_PACK_ENV)
+    if env is None:
+        return "auto"
+    if env in ("0", "", "false", "False", "off"):
+        return "off"
+    return "forced"
+
+
+def _pack_shape_ok(arr) -> bool:
+    """Common payload gate: float32, >=2-D, worth the extra launch."""
+    return (getattr(arr, "dtype", None) == np.float32
+            and getattr(arr, "ndim", 0) >= 2
+            and getattr(arr, "nbytes", 0) >= _PACK_MIN_BYTES)
 
 
 class PackedWire:
     """Device-side int16 block-float encoding of a float32 array.
 
-    ``q`` holds ``round(x / scale)`` as int16 and ``scale`` the per-row
-    (last-axis) float32 scale ``row_max / 32767``; :func:`device_fetch`
-    accepts instances and returns the decoded float32 host array.
+    ``q`` holds ``round(x / scale)`` as int16, ``scale`` the per-row
+    (last-axis) float32 scale ``row_max / 32767``, and ``finite`` a
+    per-row bool that is False where the source row contained NaN/Inf
+    (those rows decode to all-NaN). :func:`device_fetch` accepts
+    instances and returns the decoded float32 host array.
     """
 
-    __slots__ = ("q", "scale", "shape", "ndim", "nbytes")
+    __slots__ = ("q", "scale", "finite", "shape", "ndim", "nbytes")
 
-    def __init__(self, q, scale):
+    def __init__(self, q, scale, finite):
         self.q = q
         self.scale = scale
+        self.finite = finite
         self.shape = q.shape
         self.ndim = q.ndim
-        self.nbytes = q.nbytes + scale.nbytes
+        self.nbytes = q.nbytes + scale.nbytes + finite.nbytes
 
     def devices(self):
         return self.q.devices()
@@ -196,33 +236,34 @@ class PackedWire:
     def block_until_ready(self):
         self.q.block_until_ready()
         self.scale.block_until_ready()
+        self.finite.block_until_ready()
         return self
 
 
 def _pack_fn(x):
     import jax.numpy as jnp
+    finite = jnp.isfinite(x).all(axis=-1, keepdims=True)
     a = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    scale = (jnp.where((a > 0) & jnp.isfinite(a), a, 1.0)
+    scale = (jnp.where(finite & (a > 0), a, 1.0)
              / 32767.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(x / scale), -32767.0, 32767.0)
-    return q.astype(jnp.int16), scale
+    # zero non-finite payloads before the int cast (astype(int16) of
+    # NaN/Inf is implementation-defined); the row decodes to NaN anyway
+    safe = jnp.where(jnp.isfinite(x), x, 0.0)
+    q = jnp.clip(jnp.round(safe / scale), -32767.0, 32767.0)
+    return q.astype(jnp.int16), scale, finite
 
 
 def wire_pack_enabled(arr=None) -> bool:
     """Whether :func:`pack_for_wire` would engage (for ``arr`` when
     given, for the configured policy alone otherwise)."""
-    env = os.environ.get(_PACK_ENV)
-    if env is not None and env in ("0", "", "false", "False", "off"):
+    state = _pack_env_state()
+    if state == "off":
         return False
-    forced = env is not None  # any other value forces it on
     if arr is None:
         return True
-    if (isinstance(arr, (np.ndarray, PackedWire))
-            or getattr(arr, "dtype", None) != np.float32
-            or getattr(arr, "ndim", 0) < 2
-            or getattr(arr, "nbytes", 0) < _PACK_MIN_BYTES):
+    if isinstance(arr, (np.ndarray, PackedWire)) or not _pack_shape_ok(arr):
         return False
-    return forced or _platform_of(arr) in _TUNNELED_PLATFORMS
+    return state == "forced" or _platform_of(arr) in _TUNNELED_PLATFORMS
 
 
 _unpack_jit = None
@@ -232,13 +273,12 @@ def _h2d_pack_engages(host) -> bool:
     """h2d policy twin of :func:`wire_pack_enabled` for HOST arrays
     (no device to inspect): same env gate, engages by default only
     when the LIVE default backend is a tunneled runtime."""
-    env = os.environ.get(_PACK_ENV)
-    if env is not None and env in ("0", "", "false", "False", "off"):
+    state = _pack_env_state()
+    if state == "off":
         return False
-    if (not isinstance(host, np.ndarray) or host.dtype != np.float32
-            or host.ndim < 2 or host.nbytes < _PACK_MIN_BYTES):
+    if not isinstance(host, np.ndarray) or not _pack_shape_ok(host):
         return False
-    if env is not None:  # any non-disabling value forces it on
+    if state == "forced":
         return True
     try:
         import jax
@@ -251,42 +291,71 @@ def _h2d_pack_engages(host) -> bool:
 def ship_packed(host, sharding=None):
     """Host->device ship of a float32 array through the int16
     block-float wire codec (same policy/env as :func:`pack_for_wire`,
-    h2d direction): per-row scale computed on host, int16 payload
-    crosses the wire, decode multiply runs ON DEVICE. Returns the
-    decoded float32 device array — callers see the same contract as
-    :func:`device_ship`, minus half the wire bytes.
+    h2d direction): per-row mean + scale computed on host, int16
+    payload crosses the wire (half the f32 bytes), decode
+    ``q * scale + mean`` runs ON DEVICE. Returns the decoded float32
+    device array — callers see the same contract as
+    :func:`device_ship`.
 
-    Input quantization is ``<=0.5 * row_max / 32767`` per sample; for
-    the span->window->normalized-CC path the noise is white and
-    averages down by ``1/sqrt(npts)`` through the correlation
-    (~1e-7 relative at day scale), far below the d2h codec's own
-    bound. Falls back to :func:`device_ship` when the codec does not
-    engage (real PCIe hosts, CPU backend, non-f32, small arrays).
+    Safety gates for RAW data (module comment): rows are mean-centered
+    before quantization so a DC offset cannot set the scale, and the
+    whole stack falls back to the unpacked ship when any row's
+    ``peak/rms`` crest factor exceeds ``_PACK_CREST_MAX`` (a transient
+    would crush the ambient signal) or contains non-finite values.
+    Quantization on the survivors is ``<=0.5 * row_peak / 32767`` per
+    sample, white, and averages down ~``1/sqrt(npts)`` through the
+    normalized correlation (~1e-7 relative at day scale). Also falls
+    back on real PCIe hosts, the CPU backend, non-f32 and small arrays.
     """
     if not _h2d_pack_engages(host):
         return device_ship(host, sharding)
     import jax
 
-    a = np.abs(host).max(axis=-1, keepdims=True)
-    scale = (np.where((a > 0) & np.isfinite(a), a, 1.0)
-             / 32767.0).astype(np.float32)
-    q = np.clip(np.round(host / scale), -32767.0, 32767.0).astype(np.int16)
-    qd = device_ship(q, sharding)
-    sd = device_ship(scale, sharding)
+    # single-pass row statistics, no array-sized temporaries: the host
+    # pathologically first-touches large fresh allocations (CLAUDE.md)
+    rows = host.reshape(-1, host.shape[-1])
+    n = rows.shape[-1]
+    mu = rows.mean(axis=-1, dtype=np.float64)
+    sumsq = np.einsum("ij,ij->i", rows, rows, dtype=np.float64)
+    var = np.maximum(sumsq / n - mu * mu, 0.0)
+    peak = np.maximum(rows.max(axis=-1) - mu, mu - rows.min(axis=-1))
+    finite = np.isfinite(mu) & np.isfinite(sumsq) & np.isfinite(peak)
+    # crest gate: rms==0 rows (all-constant) pack fine (peak==0 too)
+    crest_bad = peak > _PACK_CREST_MAX * np.sqrt(var)
+    if not finite.all() or (crest_bad & (var > 0)).any():
+        return device_ship(host, sharding)
+
+    scale = (np.where(peak > 0, peak, 1.0)
+             / 32767.0).astype(np.float32)[:, None]
+    mu32 = mu.astype(np.float32)[:, None]
+    q = np.empty(rows.shape, np.int16)
+    buf = np.empty(n, np.float32)  # one reusable row temp
+    for i in range(rows.shape[0]):
+        np.subtract(rows[i], mu32[i, 0], out=buf)
+        np.divide(buf, scale[i, 0], out=buf)
+        np.rint(buf, out=buf)
+        np.clip(buf, -32767.0, 32767.0, out=buf)
+        q[i] = buf  # casts f32 -> int16 into the existing buffer
+
+    side_shape = host.shape[:-1] + (1,)
+    qd = device_ship(q.reshape(host.shape), sharding)
+    sd = device_ship(scale.reshape(side_shape), sharding)
+    md = device_ship(mu32.reshape(side_shape), sharding)
     global _unpack_jit
     if _unpack_jit is None:
         import jax.numpy as jnp
         _unpack_jit = jax.jit(
-            lambda qq, ss: qq.astype(jnp.float32) * ss)
-    return _unpack_jit(qd, sd)
+            lambda qq, ss, mm: qq.astype(jnp.float32) * ss + mm)
+    return _unpack_jit(qd, sd, md)
 
 
 def pack_for_wire(arr):
     """Encode a float32 device array for a slow wire (int16 block-float
-    per row, 4x fewer readback bytes; policy in the module comment).
-    Returns ``arr`` unchanged when the codec does not engage; otherwise
-    a :class:`PackedWire` that :func:`device_fetch`/:func:`prefetch`
-    accept in place of the array."""
+    per row, HALF the f32 readback bytes; policy in the module
+    comment). Returns ``arr`` unchanged when the codec does not engage;
+    otherwise a :class:`PackedWire` that
+    :func:`device_fetch`/:func:`prefetch` accept in place of the
+    array."""
     if not wire_pack_enabled(arr):
         return arr
     import jax
@@ -306,6 +375,7 @@ def prefetch(arr) -> bool:
     if isinstance(arr, PackedWire):
         try:
             arr.scale.copy_to_host_async()
+            arr.finite.copy_to_host_async()
         except Exception:
             pass
         return prefetch(arr.q)
@@ -333,12 +403,17 @@ def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
     """
     if isinstance(arr, PackedWire):
         scale = np.asarray(arr.scale)
+        finite = np.asarray(arr.finite)
         q = device_fetch(arr.q)
         if out is None:
             out = q.astype(np.float32)
             out *= scale
         else:
             np.multiply(q, scale, out=out)
+        if not finite.all():
+            # int16 cannot carry a NaN: decode corrupt rows to all-NaN
+            # so the corruption stays detectable (PackedWire docstring)
+            out[~np.broadcast_to(finite, out.shape)] = np.nan
         return out
     if not _should_chunk(arr):
         host = np.asarray(arr)
