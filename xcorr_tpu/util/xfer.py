@@ -278,8 +278,13 @@ def _h2d_pack_engages(host) -> bool:
         return False
     if not isinstance(host, np.ndarray) or not _pack_shape_ok(host):
         return False
-    if state == "forced":
-        return True
+    return state == "forced" or live_backend_tunneled()
+
+
+def live_backend_tunneled() -> bool:
+    """Whether the LIVE default backend is a tunneled runtime. Unlike
+    :func:`tunneled_runtime_registered` this initializes the backend —
+    only call it where a client is already (or must anyway be) live."""
     try:
         import jax
         version = str(jax.devices()[0].client.platform_version).lower()
