@@ -176,6 +176,70 @@ class TestRoundtripAndPostprocess:
             root=root, nworkers=1, verb=0)
         assert all(results2)
 
+    def test_lazy_process_inventory_feeds_init(self, tmp_path):
+        """The inventory passed to lazy_process must reach core.init
+        even when init_args omits it — otherwise every shard's pair
+        distance is silently 0 (review finding)."""
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=1, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0))  # NO inventory in init_args
+        results = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, make_client(),
+            inventory=make_inventory(), root=root, nworkers=1, verb=0)
+        assert all(results)
+        ds = xcorr_tpu.read(xcorr_tpu.ncfile(PAIR, times[0], root))
+        assert float(ds["distance"].values[0]) > 1000.0  # km, not 0
+
+    def test_lazy_process_fails_fast_without_available_day(self,
+                                                           tmp_path):
+        """No fully-available day -> RuntimeError up front (like the
+        reference), not a silent unvalidated campaign; a fully gated-out
+        work list raises too instead of reporting '0 of 0' success."""
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=2, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        client = make_client(missing={"IU.RAR.10.BHZ"})
+        with pytest.raises(RuntimeError, match="availability"):
+            xcorr_tpu.lazy_process(
+                [PAIR], times, init_args, client,
+                inventory=make_inventory(), root=root, verb=0)
+
+    def test_lazy_device_bulk_write_isolation(self, tmp_path,
+                                              monkeypatch):
+        """One failed shard write in the bulk device path fails only
+        its own (pair, day); chunk-mates stay True and written."""
+        from xcorr_tpu.core import lazy as lazy_mod
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=2, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        bad = xcorr_tpu.ncfile(PAIR, times[0], root)
+        real_write = lazy_mod.write
+
+        def flaky_write(data, nc, **kw):
+            if nc == bad:
+                raise OSError("disk full")
+            return real_write(data, nc, **kw)
+
+        monkeypatch.setattr(lazy_mod, "write", flaky_write)
+        with pytest.warns(UserWarning, match="disk full"):
+            results = xcorr_tpu.lazy_process(
+                [PAIR], times, init_args, make_client(),
+                inventory=make_inventory(), root=root, verb=0,
+                engine="device", days_per_launch=2)
+        assert results == [False, True]
+        assert not os.path.exists(bad)
+        ds = xcorr_tpu.read(xcorr_tpu.ncfile(PAIR, times[1], root))
+        assert (ds["status"].values == 1).all()
+
     def test_merge_shards(self, tmp_path):
         root = str(tmp_path / "cc")
         times = pd.date_range("2014-01-01", "2014-01-03", freq="1D",

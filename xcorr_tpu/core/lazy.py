@@ -47,11 +47,14 @@ def single_threaded_process(pair: str, time, init_args: dict,
         if data is not None and np.all(data["status"].values == 1):
             return True
     if data is None:
+        # the caller's inventory feeds init too (pair distance) unless
+        # init_args overrides it — reference passes it explicitly
+        # (xcorr/core/lazy.py:60-66); without it distance is silently 0
         data = core_init(
             pair=pair,
             starttime=time,
             endtime=time + pd.Timedelta("1D"),
-            **init_args,
+            **{"inventory": inventory, **init_args},
         )
     if engine == "device":
         from ..parallel.engine import device_process
@@ -73,7 +76,16 @@ def gated_pair_days(pairs: list, times, availability=None,
                     preprocessing=None, verb: int = 0):
     """The gated (pair, day) work list: pairs whose receivers passed the
     availability scan (per day) and the preprocess preflight (reference
-    gating, ``xcorr/core/lazy.py:85-194``)."""
+    gating, ``xcorr/core/lazy.py:85-194``).
+
+    Documented divergence: the reference gates each window on any fully
+    available day within ``[time - wl/2, time + 3wl/2]`` (an extended
+    ±1-day scan, since windows straddle day boundaries); here the gate
+    is the exact-day availability flag per receiver. The engine's
+    grid-canonical spans make the difference benign — a window whose
+    tail reaches into a missing neighbouring day processes against the
+    zero-filled grid and is flagged missing per-window rather than
+    dropping the whole day up front."""
     out = []
     for pair in pairs:
         receivers = util.receiver.split_pair(pair, substitute=True)
@@ -106,28 +118,33 @@ def gated_pair_days(pairs: list, times, availability=None,
     return out
 
 
+def _make_task(pair, time, init_args, client, inventory, root,
+               verb: int = 0, **kwargs):
+    """Zero-arg callable running one (pair, day) shard with error
+    isolation (an exception fails the task, not the campaign)."""
+    def task():
+        try:
+            return single_threaded_process(
+                pair, time, init_args or {}, client, inventory,
+                root, verb=verb, **kwargs)
+        except Exception as error:
+            warnings.warn(f"{pair} {time} failed: {error}", UserWarning)
+            return False
+    return task
+
+
 def lazy_processes(pairs: list, times, availability=None, preprocessing=None,
                    init_args: dict = None, client=None, inventory=None,
                    root: str = None, verb: int = 0, **kwargs):
     """Build the gated (pair, day) task list: each item is a zero-arg
     callable (reference builds dask.delayed objects,
     ``xcorr/core/lazy.py:85-194``)."""
-    tasks = []
-    for pair, time in gated_pair_days(pairs, times,
-                                      availability=availability,
-                                      preprocessing=preprocessing,
-                                      verb=verb):
-        def task(pair=pair, time=time):
-            try:
-                return single_threaded_process(
-                    pair, time, init_args or {}, client, inventory,
-                    root, verb=verb, **kwargs)
-            except Exception as error:
-                warnings.warn(f"{pair} {time} failed: {error}",
-                              UserWarning)
-                return False
-        tasks.append(task)
-    return tasks
+    return [_make_task(pair, time, init_args, client, inventory, root,
+                       verb=verb, **kwargs)
+            for pair, time in gated_pair_days(pairs, times,
+                                              availability=availability,
+                                              preprocessing=preprocessing,
+                                              verb=verb)]
 
 
 def _device_bulk_run(pair_days, init_args, client, inventory, root,
@@ -150,18 +167,28 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
             try:
                 items = []
                 for pair, time in chunk:
-                    nc = ncfile(pair, time, root)
-                    data = None if force_fresh else read(nc, fast=True,
-                                                         verb=0)
-                    if data is not None and \
-                            np.all(data["status"].values == 1):
-                        results[(pair, time)] = True
+                    # per-TASK isolation: a corrupt existing shard (or
+                    # any read/init error) must fail only its own
+                    # (pair, day), not starve every healthy chunk-mate
+                    # on this and all future resume runs
+                    try:
+                        nc = ncfile(pair, time, root)
+                        data = None if force_fresh else read(
+                            nc, fast=True, verb=0)
+                        if data is not None and \
+                                np.all(data["status"].values == 1):
+                            results[(pair, time)] = True
+                            continue
+                        if data is None:
+                            data = core_init(
+                                pair=pair, starttime=time,
+                                endtime=time + pd.Timedelta("1D"),
+                                **{"inventory": inventory, **init_args})
+                    except Exception as error:
+                        warnings.warn(f"{pair} {time} failed: {error}",
+                                      UserWarning)
+                        results[(pair, time)] = False
                         continue
-                    if data is None:
-                        data = core_init(
-                            pair=pair, starttime=time,
-                            endtime=time + pd.Timedelta("1D"),
-                            **init_args)
                     items.append((pair, time, data, nc))
                 if not items:
                     continue
@@ -189,10 +216,19 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                     written = set()
 
                     def write_one(pair, time, data, nc):
-                        if np.any(data["status"].values == 1):
-                            write(data, nc, verb=0)
-                        out[(pair, time)] = bool(
-                            np.all(data["status"].values == 1))
+                        # per-shard isolation: one failed write (disk
+                        # full, transient IO) must not discard the
+                        # whole chunk's bookkeeping
+                        try:
+                            if np.any(data["status"].values == 1):
+                                write(data, nc, verb=0)
+                            out[(pair, time)] = bool(
+                                np.all(data["status"].values == 1))
+                        except Exception as error:
+                            warnings.warn(
+                                f"write {nc} failed: {error}",
+                                UserWarning)
+                            out[(pair, time)] = False
 
                     # hand each completed shard to a DEDICATED write
                     # thread the moment its last launch is read back:
@@ -288,25 +324,43 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
         receivers, times, substitute=False, parallel=True,
         download=download, verb=verb)
 
-    # 2. preprocess verification on one fully-available day
-    preprocessing = None
+    # 2. preprocess verification on one fully-available day; no such
+    # day means at least one receiver has no usable data at all — fail
+    # fast like the reference (xcorr/core/lazy.py:322-344) instead of
+    # scheduling a campaign with an unvalidated preprocess chain
     av = availability.values
     full_days = np.nonzero((av == 1).all(axis=0))[0]
-    if full_days.size:
-        day = times[int(full_days[0])] + pd.Timedelta("12h")
-        if verb > 0:
-            print(f"Verify waveform preprocessing on {day}")
-        preprocessing = client.verify_waveform_processing(
-            receivers, day,
-            operations=init_args["preprocess"],
-            inventory=inventory,
-            sampling_rate=init_args.get("sampling_rate"),
-            parallel=True, verb=verb)
+    if not full_days.size:
+        missing = [str(r) for r, flags in zip(receivers, av == 1)
+                   if not flags.any()]
+        raise RuntimeError(
+            "no day with full waveform availability to verify "
+            "preprocessing on" + (f"; receivers with no available "
+                                  f"data: {missing}" if missing else ""))
+    day = times[int(full_days[0])] + pd.Timedelta("12h")
+    if verb > 0:
+        print(f"Verify waveform preprocessing on {day}")
+    preprocessing = client.verify_waveform_processing(
+        receivers, day,
+        operations=init_args["preprocess"],
+        inventory=inventory,
+        sampling_rate=init_args.get("sampling_rate"),
+        duration=init_args.get("window_length", 86400.0),
+        parallel=True, verb=verb)
 
     # 3. gated fan-out
     pair_days = gated_pair_days(pairs, times, availability=availability,
                                 preprocessing=preprocessing,
                                 verb=verb - 1 if verb else 0)
+    if not pair_days:
+        # an empty GLOBAL work list is a misconfiguration (wrong roots,
+        # everything gated out) — fail loudly like the reference
+        # (xcorr/core/lazy.py:346-350) rather than reporting a clean
+        # "0 of 0" success to automation. (A host may still end up with
+        # zero tasks after host_slice below; that is legitimate.)
+        raise RuntimeError(
+            "no (pair, day) tasks to schedule: availability and "
+            "preprocess gating removed the entire campaign")
     if distributed is None:
         try:
             # read the multi-process state WITHOUT forcing backend init
@@ -336,18 +390,9 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
             pair_days, init_args or {}, client, inventory, root,
             days_per_launch, verb - 1 if verb else 0, **bulk_kwargs)
     else:
-        tasks = []
-        for pair, time in pair_days:
-            def task(pair=pair, time=time):
-                try:
-                    return single_threaded_process(
-                        pair, time, init_args or {}, client, inventory,
-                        root, verb=verb - 1 if verb else 0, **kwargs)
-                except Exception as error:
-                    warnings.warn(f"{pair} {time} failed: {error}",
-                                  UserWarning)
-                    return False
-            tasks.append(task)
+        tasks = [_make_task(pair, time, init_args, client, inventory,
+                            root, verb=verb - 1 if verb else 0, **kwargs)
+                 for pair, time in pair_days]
         nworkers = nworkers or 4
         if nworkers > 1:
             with ThreadPoolExecutor(max_workers=nworkers) as ex:
