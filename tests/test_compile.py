@@ -200,3 +200,87 @@ class TestMultiSpanPipeline:
             *args, pre_padded_len=padded_len(npts), **common)(raw_a, raw_b)
         assert got.shape == want.shape == (2, 400)
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-8)
+
+
+class TestCompileTrimSemantics:
+    """Host parity of the buffer trim position and the strict stage
+    gates (review findings: trailing detrend/taper must act on the
+    FINAL window; never silently default a response/taper/rate op)."""
+
+    def test_trim_applies_at_dsl_position(self):
+        """Explicit ('trim', {}) mid-chain: the slice happens THERE, so
+        the trailing demean+taper see the final window — matching the
+        host path, where starttime/endtime inject at the trim op."""
+        fs = 10.0
+        npts, off = 2_000, 100          # final window, buffer samples
+        n_buf = npts + 2 * off
+        ops_list = [
+            ("filter", {"type": "highpass", "freq": 0.1}),
+            ("trim", {}),
+            ("detrend", {"type": "demean"}),
+            ("taper", {"type": "cosine", "max_percentage": 0.05}),
+        ]
+        rng = np.random.default_rng(7)
+        data = rng.normal(size=n_buf) + 3.0
+        fn, n_out, fs_out = compile_operations(
+            ops_list, n_buf, fs, trim_to=npts, trim_offset=off)
+        got = np.asarray(fn(data[None]))[0]
+        assert (n_out, fs_out) == (npts, fs)
+        # oracle: filter on the buffered trace, slice the host-inclusive
+        # npts+1 window (Trace.trim endtime is inclusive), demean+taper
+        # on it, then drop the extra endtime sample (the client's final
+        # st.trim)
+        filt = host_run([ops_list[0]], data, fs)[off:off + npts + 1]
+        want = host_run(ops_list[2:], filt, fs)[:npts]
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+        # the taper ramps must actually be present at the window edges
+        # (the last kept sample sits one INSIDE the inclusive taper, so
+        # it is ramp-suppressed rather than exactly zero)
+        assert abs(got[0]) < 1e-12
+        assert abs(got[-1]) < 0.01 * float(np.std(got))
+
+    def test_trim_without_marker_slices_at_end(self):
+        """No explicit trim op: the slice lands at the end (matching
+        the client's trailing st.trim)."""
+        fs, npts, off = 10.0, 1_000, 50
+        n_buf = npts + 2 * off
+        ops_list = [("detrend", {"type": "demean"})]
+        data = np.random.default_rng(8).normal(size=n_buf)
+        fn, n_out, _ = compile_operations(ops_list, n_buf, fs,
+                                          trim_to=npts, trim_offset=off)
+        got = np.asarray(fn(data[None]))[0]
+        want = (data - data.mean())[off:off + npts]
+        assert n_out == npts
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+    def test_detrend_simple_is_endpoint_line(self):
+        fs, n = 10.0, 500
+        data = np.random.default_rng(9).normal(size=n) + \
+            np.linspace(0.0, 3.0, n)
+        fn, _, _ = compile_operations([("detrend", {"type": "simple"})],
+                                      n, fs)
+        got = np.asarray(fn(data[None]))[0]
+        want = host_run([("detrend", {"type": "simple"})], data, fs)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+        assert abs(got[0]) < 1e-6 and abs(got[-1]) < 1e-6
+
+    def test_strict_stage_gates(self):
+        fs, n = 10.0, 1_000
+        with pytest.raises(ValueError, match="taper"):
+            compile_operations([("taper", {"type": "hann"})], n, fs)
+        with pytest.raises(ValueError, match="remove_sensitivity"):
+            compile_operations([("remove_sensitivity", {})], n, fs)
+        with pytest.raises(ValueError, match="remove_response"):
+            compile_operations([("remove_response", {})], n, fs)
+        with pytest.raises(ValueError, match="running_rms"):
+            compile_operations([("running_rms", {"window": 200.0})],
+                               n, fs)
+        with pytest.raises(NotImplementedError, match="resample"):
+            compile_operations([("resample", {"sampling_rate": 5.0})],
+                               n, fs)
+        # explicit sensitivity parameter still compiles without a
+        # response
+        fn, _, _ = compile_operations(
+            [("remove_sensitivity", {"sensitivity": 2.0})], n, fs)
+        out = np.asarray(fn(np.ones((1, n), np.float32)))
+        assert float(out[0, 0]) == 0.5

@@ -527,6 +527,44 @@ class TestDeviceEngine:
         np.testing.assert_allclose(ds["cc"].values, ds_ref["cc"].values,
                                    atol=2e-5)
 
+    def test_device_process_trim_position_parity(self):
+        """Production-shaped chains carry an explicit mid-chain 'trim'
+        followed by detrend+taper; the device path must trim at that
+        position (so the trailing ops act on the FINAL window) and
+        match the host path — regression for the review finding where
+        the end-trim sliced the taper ramps off."""
+        from xcorr_tpu import ndlabel
+        from xcorr_tpu.parallel import device_process
+
+        pre = {
+            "EDH": [
+                ("filter", {"type": "bandpass", "freqmin": 0.3,
+                            "freqmax": 2.0}),
+                ("trim", {}),
+                ("detrend", {"type": "demean"}),
+                ("taper", {"type": "cosine", "max_percentage": 0.05,
+                           "max_length": 30.0}),
+            ],
+            "BHZ": [
+                ("filter", {"type": "bandpass", "freqmin": 0.3,
+                            "freqmax": 2.0}),
+                ("trim", {}),
+                ("detrend", {"type": "demean"}),
+                ("taper", {"type": "cosine", "max_percentage": 0.05,
+                           "max_length": 30.0}),
+            ],
+        }
+        ds_host = init_ds(preprocess=pre,
+                          endtime=pd.Timestamp("2014-01-01T03:00"))
+        ds_dev = init_ds(preprocess=pre,
+                         endtime=pd.Timestamp("2014-01-01T03:00"))
+        xcorr_tpu.process(ds_host, client=make_client(), verb=0)
+        device_process(ds_dev, client=make_client(), verb=0)
+        assert (ds_dev["status"].values == 1).all()
+        assert (ds_host["status"].values == 1).all()
+        np.testing.assert_allclose(ds_dev["cc"].values,
+                                   ds_host["cc"].values, atol=5e-6)
+
     def test_device_process_missing_data(self):
         from xcorr_tpu.parallel import device_process
         ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))

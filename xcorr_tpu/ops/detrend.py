@@ -11,13 +11,26 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["demean", "detrend_linear"]
+__all__ = ["demean", "detrend_linear", "detrend_simple"]
 
 
 def demean(x):
     """Subtract the (NaN-aware) mean along the last axis."""
     m = jnp.nanmean(x, axis=-1, keepdims=True)
     return x - m
+
+
+def detrend_simple(x):
+    """Subtract the line through the FIRST and LAST samples along the
+    last axis — obspy's ``detrend('simple')``, which is an endpoint
+    line, NOT the least-squares fit (``stream/trace.py`` detrend)."""
+    n = x.shape[-1]
+    if n < 2:
+        return x
+    first = x[..., :1]
+    slope = (x[..., -1:] - first) / jnp.asarray(n - 1, x.dtype)
+    t = jnp.arange(n, dtype=x.dtype)
+    return x - (first + slope * t)
 
 
 def detrend_linear(x):

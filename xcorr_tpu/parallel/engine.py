@@ -92,8 +92,10 @@ def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
 
 
 def _chain_compilable(ops_list):
+    # resample has no device stage either — silently dropping a rate
+    # change would correlate mis-sliced data, so route to core.process
     for op, _ in ops_list:
-        if op in ("rotate", "select", "simulate"):
+        if op in ("rotate", "select", "simulate", "resample"):
             return False
     return True
 
@@ -263,8 +265,37 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     if not good:
         return []
 
-    dev_ops_a = [op for op in ops_a if op[0] not in HOST_OPS]
-    dev_ops_b = [op for op in ops_b if op[0] not in HOST_OPS]
+    # keep 'trim' as a positional marker: the compiled chain applies
+    # the buffer slice AT the DSL's trim position (host parity — the
+    # trailing detrend/taper must act on the FINAL window, not on the
+    # buffered one with the ramps sliced off afterwards)
+    dev_ops_a = [op for op in ops_a
+                 if op[0] == "trim" or op[0] not in HOST_OPS]
+    dev_ops_b = [op for op in ops_b
+                 if op[0] == "trim" or op[0] not in HOST_OPS]
+
+    # host parity: a chain that deconvolves needs a response — without
+    # one the host path raises per window (status -1); never fall back
+    # to a silent flat/unity response
+    def _needs_response(ops_list):
+        return any(op == "remove_response"
+                   or (op == "remove_sensitivity" and "sensitivity" not
+                       in params)
+                   for op, params in ops_list)
+
+    if _needs_response(dev_ops_a) or _needs_response(dev_ops_b):
+        na = _needs_response(dev_ops_a)
+        nb = _needs_response(dev_ops_b)
+        kept = []
+        for k in good:
+            ra, rb = resp_pairs[k]
+            if (na and ra is None) or (nb and rb is None):
+                status[ip, work[k]] = -1
+            else:
+                kept.append(k)
+        good = kept
+        if not good:
+            return []
 
     epochs = {}
     for k in good:

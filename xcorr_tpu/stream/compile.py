@@ -48,12 +48,22 @@ def _stage_detrend(params, npts, fs):
     kind = params.get("type", "simple")
     if kind in ("demean", "constant"):
         return _Stage(ops.detrend.demean, npts, fs)
-    if kind in ("linear", "simple"):
+    if kind == "linear":
         return _Stage(ops.detrend.detrend_linear, npts, fs)
+    if kind == "simple":
+        # obspy 'simple' = line through first/last samples, NOT the
+        # least-squares fit (host parity: Trace.detrend in trace.py)
+        return _Stage(ops.detrend.detrend_simple, npts, fs)
     raise ValueError(f"detrend type {kind!r} not compilable")
 
 
 def _stage_taper(params, npts, fs):
+    if params.get("max_percentage") is None and \
+            params.get("max_length") is None:
+        # host parity: Trace.taper requires max_percentage (or a
+        # max_length cap); silently defaulting here would make the
+        # device path succeed where the host path drops the window
+        raise ValueError("taper needs max_percentage or max_length")
     vec = ops.taper.taper_vector(
         npts, wtype=params.get("type", "hann"),
         max_percentage=params.get("max_percentage"),
@@ -117,26 +127,37 @@ def _stage_interpolate(params, npts, fs):
     i0 = np.floor(pos).astype(np.int32)
     frac = (pos - i0).astype(np.float64)
 
-    # Lanczos kernel weights: (npts_out, 2a) gather + weighted sum
-    ks = np.arange(-a + 1, a + 1)
-    t = frac[:, None] - ks[None, :]
-    w = np.sinc(t) * np.sinc(t / a) * (np.abs(t) < a)
-    idx = i0[:, None] + ks[None, :]
-    valid = (idx >= 0) & (idx < npts)
-    w = np.where(valid, w, 0.0)
-    wsum = w.sum(axis=1, keepdims=True)
-    w = np.where(wsum > 0, w / np.where(wsum > 0, wsum, 1.0), 0.0)
-    idx = np.clip(idx, 0, npts - 1)
+    # Lanczos weights/indices form ON DEVICE from the O(npts_out) i0 /
+    # frac vectors: baking the dense (npts_out, 2a) weight and index
+    # matrices as host constants costs gigabytes at day scale (4.7M x
+    # 40 float64 ~ 1.5 GB each, first-touched at ~16 MB/s on this host
+    # and re-shipped over the wire per fresh compile), while the
+    # outer-difference + two sincs recompute in microseconds of VPU
+    # time per call
+    ks = np.arange(-a + 1, a + 1, dtype=np.int32)
 
-    def fn(x, idx=jnp.asarray(idx), w64=w):
-        g = x[..., idx]                      # (..., npts_out, 2a)
-        return jnp.sum(g * jnp.asarray(w64, x.dtype), axis=-1)
+    def fn(x, i0=jnp.asarray(i0), frac64=frac, ks=jnp.asarray(ks)):
+        t = jnp.asarray(frac64, x.dtype)[:, None] \
+            - jnp.asarray(ks, x.dtype)[None, :]
+        w = jnp.sinc(t) * jnp.sinc(t / a) * (jnp.abs(t) < a)
+        idx = i0[:, None] + ks[None, :]
+        w = jnp.where((idx >= 0) & (idx < npts), w, 0.0)
+        wsum = jnp.sum(w, axis=-1, keepdims=True)
+        w = jnp.where(wsum > 0, w / jnp.where(wsum > 0, wsum, 1.0), 0.0)
+        g = x[..., jnp.clip(idx, 0, npts - 1)]   # (..., npts_out, 2a)
+        return jnp.sum(g * w, axis=-1)
     return _Stage(fn, npts_out, new_fs)
 
 
 def _stage_remove_sensitivity(params, npts, fs, response=None):
+    if response is None and "sensitivity" not in params:
+        # host parity: Trace.remove_sensitivity raises without an
+        # inventory response — silently dividing by 1.0 would produce
+        # amplitudes wrong by the full instrument gain with status=1
+        raise ValueError("remove_sensitivity needs a response (or an "
+                         "explicit 'sensitivity' parameter)")
     sens = float(response.sensitivity if response is not None
-                 else params.get("sensitivity", 1.0))
+                 else params["sensitivity"])
 
     def fn(x):
         return x / jnp.asarray(sens, x.dtype)
@@ -144,9 +165,11 @@ def _stage_remove_sensitivity(params, npts, fs, response=None):
 
 
 def _stage_remove_response(params, npts, fs, response=None):
-    from .inventory import flat_response
     from .trace import _cosine_sac_taper, _invert_spectrum_water_level
-    resp = response if response is not None else flat_response()
+    if response is None:
+        # host parity: Trace.remove_response raises without a response
+        raise ValueError("remove_response needs a response")
+    resp = response
     water_level = params.get("water_level", 60.0)
     output = params.get("output", "VEL")
     pre_filt = params.get("pre_filt")
@@ -182,6 +205,13 @@ def _stage_normalize(params, npts, fs):
 def _stage_running_rms(params, npts, fs):
     window = float(params.get("window", 60.0))
     win_n = int(round(window * fs))
+    if win_n < 1:
+        raise ValueError(f"running_rms window {window}s is shorter than "
+                         f"one sample at {fs} Hz")
+    if win_n > npts:
+        # host parity: running_rms_trace raises on a too-short trace
+        raise ValueError(f"running_rms window {window}s exceeds the "
+                         f"{npts / fs}s block")
     nwin = npts // win_n
 
     def fn(x):
@@ -220,39 +250,86 @@ def compile_operations(operations, npts: int, sampling_rate: float,
     Returns
     -------
     (fn, npts_out, fs_out): ``fn(x: (batch, npts)) -> (batch, npts_out)``.
-    Host-only ops in the list (merge/select/rotate/trim) are skipped —
-    they must run at the edge before densification.
+
+    Edge-only ops in the list (merge/select/rotate/attach_response) are
+    skipped — they run at the edge before densification. ``resample``
+    and ``simulate`` raise ``NotImplementedError`` (silently dropping a
+    rate change would correlate mis-sliced data; the engine's
+    ``_chain_compilable`` routes such chains to the host path).
+
+    The buffer trim honors the DSL's op order (host parity,
+    ``get_processed_waveforms`` injects starttime/endtime at the 'trim'
+    position): when the list carries an explicit ``('trim', ...)`` and
+    ``trim_to`` is given, the slice applies THERE, so trailing
+    detrend/taper act on the FINAL window — tapering the buffered
+    window and then slicing the ramps off would leave the correlated
+    window effectively untapered. If a rate/length-changing op follows
+    the trim (no canonical chain does), the slice falls back to the end
+    of the chain, matching the client's trailing ``st.trim``.
     """
+    _EDGE_OPS = ("merge", "select", "rotate", "attach_response")
+    _RESHAPING = ("decimate", "interpolate", "running_rms")
+    ops_seq = list(operations)
+
+    trim_at = None
+    if trim_to is not None:
+        for i, (op, _) in enumerate(ops_seq):
+            if op == "trim":
+                tail = [o for o, _ in ops_seq[i + 1:]]
+                if not any(o in _RESHAPING for o in tail):
+                    trim_at = i
+                break
+
+    def make_trim(n, fs, inclusive=False):
+        if trim_offset + trim_to > n:
+            raise ValueError(
+                f"trim window [{trim_offset}, {trim_offset + trim_to}) "
+                f"exceeds chain output length {n}")
+        k, o = int(trim_to), int(trim_offset)
+        if inclusive and o + k + 1 <= n:
+            # host parity: Trace.trim's endtime is INCLUSIVE, so the
+            # mid-chain window carries trim_to+1 samples through the
+            # trailing ops; the client's final st.trim drops the last
+            # sample afterwards (a trailing [..., :trim_to] stage here)
+            k += 1
+
+        def trim_stage(x, k=k, o=o):
+            return x[..., o:o + k]
+        return _Stage(trim_stage, k, fs)
+
     stages = []
     fs = float(sampling_rate)
     n = int(npts)
-    for op, params in operations:
-        if op in HOST_OPS:
+    trimmed = False
+    for i, (op, params) in enumerate(ops_seq):
+        if i == trim_at:
+            st = make_trim(n, fs, inclusive=True)
+            stages.append(st)
+            n, trimmed = st.npts_out, True
+            continue  # 'trim' itself is consumed by the slice stage
+        if op in _EDGE_OPS or op == "trim":
             continue
-        if op not in _STAGES and op not in ("remove_sensitivity",
-                                            "remove_response"):
-            raise NotImplementedError(f"op {op!r} not device-compilable")
         if op == "remove_sensitivity":
             st = _stage_remove_sensitivity(params, n, fs, response)
         elif op == "remove_response":
             st = _stage_remove_response(params, n, fs, response)
-        else:
+        elif op in _STAGES:
             st = _STAGES[op](params, n, fs)
+        else:
+            raise NotImplementedError(f"op {op!r} not device-compilable")
         stages.append(st)
         n, fs = st.npts_out, st.fs_out
 
-    if trim_to is not None and trim_offset + trim_to <= n:
-        npts_final = int(trim_to)
-        off = int(trim_offset)
-
-        def trim_stage(x, k=npts_final, o=off):
-            return x[..., o:o + k]
-        stages.append(_Stage(trim_stage, npts_final, fs))
-        n = npts_final
-    elif trim_to is not None:
-        raise ValueError(
-            f"trim window [{trim_offset}, {trim_offset + trim_to}) exceeds "
-            f"chain output length {n}")
+    if trim_to is not None and not trimmed:
+        st = make_trim(n, fs)
+        stages.append(st)
+        n = st.npts_out
+    elif trimmed and n != int(trim_to):
+        # drop the host-inclusive extra endtime sample
+        def final_drop(x, k=int(trim_to)):
+            return x[..., :k]
+        stages.append(_Stage(final_drop, int(trim_to), fs))
+        n = int(trim_to)
 
     def chain(x):
         for st in stages:
