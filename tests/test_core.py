@@ -176,6 +176,75 @@ class TestRoundtripAndPostprocess:
             root=root, nworkers=1, verb=0)
         assert all(results2)
 
+    def test_postprocess_single_celerity_bound_km(self):
+        """cmax alone must still convert km distances to meters for the
+        lag clip (regression: the unit heuristic required BOTH bounds,
+        silently clipping 1000x too tight)."""
+        ds = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
+        client = make_client()
+        xcorr_tpu.process(ds, client=client, verb=0)
+        assert ds["distance"].attrs.get("units") == "km"
+        dist_m = float(ds["distance"].values.ravel()[0]) * 1000.0
+        cmax = 2_000_000.0  # keeps dist/cmax (~4 s) inside the +-100 s lag
+        post = xcorr_tpu.postprocess(
+            ds, cmax=cmax,
+            filter_kwargs={"frequency": 0.5, "btype": "highpass",
+                           "order": 2})
+        lag = post.coords["lag"].values
+        want_min = dist_m / cmax
+        assert lag.min() >= want_min - 0.5
+        # and the clip actually engaged (old bug: lag_min ~ dist_km/cmax)
+        assert lag.min() > 1.0
+
+    def test_lazy_process_rt_substituted_pair(self, tmp_path):
+        """A pair with a rotated (R) channel must survive the preprocess
+        gate: verification/gating run on the UNSUBSTITUTED receiver (the
+        ops-dict key ..BHR) while availability scans the raw 1/2/Z
+        components (regression: gating on substituted names warned 'No
+        preprocess operations' and gated every R/T pair out)."""
+        pair = "IM.H03S1..EDH-IU.RAR.10.BHR"
+        pre = {
+            "EDH": PREPROCESS["EDH"],
+            "BHR": [
+                ("detrend", {"type": "demean"}),
+                ("rotate", {"method": "->ZNE"}),
+                ("rotate", {"method": "NE->RT", "back_azimuth": 250.3}),
+                ("select", {"channel": "BHR"}),
+                ("filter", {"type": "bandpass", "freqmin": 0.3,
+                            "freqmax": 2.0}),
+                ("taper", {"type": "cosine", "max_percentage": 0.05,
+                           "max_length": 30.0}),
+            ],
+        }
+        inv = Inventory([
+            Channel("IM", "H03S1", "", "EDH",
+                    latitude=-33.6, longitude=-78.8),
+            Channel("IU", "RAR", "10", "BHR",
+                    latitude=-21.2, longitude=-159.8),
+            Channel("IU", "RAR", "10", "BH1",
+                    latitude=-21.2, longitude=-159.8),
+            Channel("IU", "RAR", "10", "BH2",
+                    latitude=-21.2, longitude=-159.8),
+            Channel("IU", "RAR", "10", "BHZ",
+                    latitude=-21.2, longitude=-159.8),
+        ])
+        client = SyntheticClient(
+            sampling_rate=FS,
+            delays={"IM.H03S1..EDH": 0.0, "RAR": DELAY},
+            source_period=600.0, source_amplitude=20.0)
+        init_args = dict(
+            preprocess=pre, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=inv)
+        times = pd.date_range("2014-01-01", periods=1, freq="1D")
+        results = xcorr_tpu.lazy_process(
+            [pair], times, init_args, client, inventory=inv,
+            root=str(tmp_path / "cc"), nworkers=1, verb=0)
+        assert results and all(results)
+        ds = xcorr_tpu.read(
+            xcorr_tpu.ncfile(pair, times[0], str(tmp_path / "cc")))
+        assert (ds["status"].values == 1).all()
+
     def test_lazy_process_inventory_feeds_init(self, tmp_path):
         """The inventory passed to lazy_process must reach core.init
         even when init_args omits it — otherwise every shard's pair

@@ -36,6 +36,21 @@ def test_plot_ccf_and_ccfs():
     assert ax is not None
 
 
+def test_plot_ccfs_all_nan_scale():
+    """All-NaN cc must fall back to scale 1.0 (regression:
+    ``nanmax(...) or 1.0`` passed NaN through — NaN is truthy — and
+    set_ylim(nan, nan) broke the axes)."""
+    import matplotlib.pyplot as plt
+    ds = make_ds()
+    ds["cc"].values[:] = np.nan
+    plt.close("all")
+    xplot.plot_ccfs(ds, normalize=True)
+    for ax in plt.gcf().axes:
+        lo, hi = ax.get_ylim()
+        assert np.isfinite([lo, hi]).all()
+    plt.close("all")
+
+
 def test_plot_snr_ct_and_trigs():
     nt = 50
     t = pd.date_range("2014-01-01", periods=nt, freq="3h").values

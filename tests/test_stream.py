@@ -75,6 +75,45 @@ class TestSyntheticClient:
         assert (st.values == 1).all()
 
 
+class TestTraceTrimPad:
+    """trim(pad=True) must return exactly the requested grid, including
+    windows DISJOINT from the data (regression: an entirely-after
+    window returned ``i1 - npts`` samples of pure fill)."""
+
+    @staticmethod
+    def _trace():
+        from xcorr_tpu.stream.trace import UTCDateTime
+        return Trace(np.arange(10.0), Stats(
+            network="N", station="S", location="", channel="C",
+            sampling_rate=1.0, starttime=UTCDateTime("2014-01-01")))
+
+    def test_window_after_data(self):
+        tr = self._trace()
+        t0 = tr.stats.starttime
+        out = tr.copy().trim(t0 + 20, t0 + 24, pad=True, fill_value=-1.0)
+        assert out.stats.npts == 5
+        assert np.all(out.data == -1.0)
+        assert out.stats.starttime == t0 + 20
+
+    def test_window_before_data(self):
+        tr = self._trace()
+        t0 = tr.stats.starttime
+        out = tr.copy().trim(t0 - 25, t0 - 21, pad=True, fill_value=-1.0)
+        assert out.stats.npts == 5
+        assert np.all(out.data == -1.0)
+        assert out.stats.starttime == t0 - 25
+
+    def test_window_straddling_data(self):
+        tr = self._trace()
+        t0 = tr.stats.starttime
+        out = tr.copy().trim(t0 - 3, t0 + 11, pad=True)
+        assert out.stats.npts == 15
+        np.testing.assert_array_equal(out.data[:3], 0.0)
+        np.testing.assert_array_equal(out.data[3:13], np.arange(10.0))
+        np.testing.assert_array_equal(out.data[13:], 0.0)
+        assert out.stats.starttime == t0 - 3
+
+
 class TestMaxGapGating:
     """max_gap duration gate + 4-state availability flags
     (reference ``xcorr/stream/client.py:270-423,794-835``)."""

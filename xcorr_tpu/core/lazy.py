@@ -104,7 +104,9 @@ def gated_pair_days(pairs: list, times, availability=None,
                     continue
             if preprocessing is not None:
                 ok = True
-                for r in receivers:
+                # the preprocess status grid is keyed by UNSUBSTITUTED
+                # receiver names (the ops-chain channel, e.g. ..BHR)
+                for r in util.receiver.split_pair(pair, substitute=False):
                     try:
                         flag = preprocessing.sel(receiver=r)
                         ok &= int(np.asarray(flag.values).ravel()[0]) == 1
@@ -200,13 +202,22 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                 for pair, time, data, nc in items:
                     if id(data) not in fb_ids:
                         continue
-                    # host fallback (chain not device-compilable)
-                    core_process(data, client=client, inventory=inventory,
-                                 retry_missing=True, verb=0, **kwargs)
-                    if np.any(data["status"].values == 1):
-                        write(data, nc, verb=0)
-                    results[(pair, time)] = bool(
-                        np.all(data["status"].values == 1))
+                    # host fallback (chain not device-compilable), with
+                    # per-item isolation: one raising fallback task must
+                    # not unwind the chunk and discard the device
+                    # launches already dispatched for its chunk-mates
+                    try:
+                        core_process(data, client=client,
+                                     inventory=inventory,
+                                     retry_missing=True, verb=0, **kwargs)
+                        if np.any(data["status"].values == 1):
+                            write(data, nc, verb=0)
+                        results[(pair, time)] = bool(
+                            np.all(data["status"].values == 1))
+                    except Exception as error:
+                        warnings.warn(f"{pair} {time} failed: {error}",
+                                      UserWarning)
+                        results[(pair, time)] = False
                 dev_items = [it for it in items if id(it[2]) not in fb_ids]
 
                 def flush(finalize=finalize, dev_items=dev_items):
@@ -309,12 +320,21 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
     times = pd.DatetimeIndex(np.asarray(times))
     pairs = list(pairs)
 
-    # receivers of all pairs
+    # receivers of all pairs. Availability scans the SUBSTITUTED names
+    # (an R/T channel needs its raw 1/2/Z components in the archive);
+    # preprocess verification runs on the UNSUBSTITUTED names (the ops
+    # dict is keyed by the pair's channel, e.g. 'BHR', and
+    # get_processed_waveforms substitutes internally) — matching the
+    # reference split at xcorr/core/lazy.py:134-141.
     receivers = []
+    receivers_chain = []
     for p in pairs:
         for r in util.receiver.split_pair(p, substitute=True):
             if r not in receivers:
                 receivers.append(r)
+        for r in util.receiver.split_pair(p, substitute=False):
+            if r not in receivers_chain:
+                receivers_chain.append(r)
 
     # 1. availability scan (parallel host IO)
     if verb > 0:
@@ -341,7 +361,7 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
     if verb > 0:
         print(f"Verify waveform preprocessing on {day}")
     preprocessing = client.verify_waveform_processing(
-        receivers, day,
+        receivers_chain, day,
         operations=init_args["preprocess"],
         inventory=inventory,
         sampling_rate=init_args.get("sampling_rate"),

@@ -23,6 +23,16 @@ __all__ = ["plot_ccf", "plot_ccfs", "plot_ccfs_colored", "plot_snr_ct",
            "set_year_labels"]
 
 
+def _abs_scale(vals) -> float:
+    """Max |vals| as a normalization scale; 1.0 for empty/all-NaN/zero
+    input (``nan or 1.0`` is nan — NaN is truthy)."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        m = np.nanmax(np.abs(vals)) if np.asarray(vals).size else np.nan
+    return float(m) if np.isfinite(m) and m > 0 else 1.0
+
+
 def _cc_and_distance(obj, distance):
     """Accept a Dataset (grab cc + distance) or a cc DataArray."""
     if hasattr(obj, "data_vars"):
@@ -95,7 +105,7 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
         if "pair" in cc.coords else ""
 
     vals = np.atleast_2d(np.asarray(cc.values, dtype=np.float64))
-    cc_max = float(np.nanmax(np.abs(vals))) or 1.0
+    cc_max = _abs_scale(vals)
     if normalize:
         vals = vals / cc_max
     cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
@@ -212,7 +222,7 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
     pairs = [str(p) for p in np.asarray(pairs).ravel()] \
         if pairs is not None else all_pairs
 
-    cc_max = float(np.nanmax(np.abs(np.asarray(cc.values)))) or 1.0
+    cc_max = _abs_scale(np.asarray(cc.values))
     cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
                                               1.05 * cc_max)
     cc_fmt = StrMethodFormatter("{x:.1f}" if normalize else "{x:.0e}")
@@ -289,7 +299,7 @@ def plot_ccfs_colored(ds, sn=None, sn_threshold: float = None,
         lag_min, lag_max = lag_lim
 
     vals_all = np.asarray(cc.values, dtype=np.float64)
-    cc_max = float(np.nanmax(np.abs(vals_all))) or 1.0
+    cc_max = _abs_scale(vals_all)
     cc_lim = (-1.05, 1.05) if normalize else (-1.05 * cc_max,
                                               1.05 * cc_max)
     cc_fmt = StrMethodFormatter("{x:.1f}" if normalize else "{x:.0e}")

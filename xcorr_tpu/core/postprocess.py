@@ -37,9 +37,15 @@ def postprocess(ds, lag_lim: tuple = None, time_lim: tuple = None,
     if clim is not None:
         cmin, cmax = clim
 
+    # km->m conversion keys on WHICHEVER celerity bounds were given —
+    # requiring both made postprocess(ds, cmax=1500.) silently clip the
+    # lag window 1000x too tight when distance is stored in km (the
+    # reference fails loudly there, xcorr/core/postprocess.py:92; we
+    # support single-bound clips, so the unit heuristic must too)
     d = ds["distance"]
-    d_fact = 1000 if (d.attrs.get("units") == "km" and cmin and cmax
-                      and cmin > 10 and cmax > 10) else 1
+    cvals = [c for c in (cmin, cmax) if c is not None]
+    d_fact = 1000 if (d.attrs.get("units") == "km" and cvals
+                      and all(c > 10 for c in cvals)) else 1
 
     tvals = ds.coords["time"].values
     time_min = time_min if time_min is not None else tvals.min()

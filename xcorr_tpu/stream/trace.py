@@ -303,9 +303,17 @@ class Trace:
             i1 = (int(round(off)) if nearest_sample
                   else int(np.floor(off))) + 1
         if pad:
-            left = max(0, -i0)
-            right = max(0, i1 - self.stats.npts)
-            data = self.data[max(i0, 0):min(i1, self.stats.npts)]
+            # count the requested grid samples before / inside / after
+            # the data so the output is ALWAYS i1-i0 samples, including
+            # windows disjoint from the data (the naive left/right/
+            # slice split returned i1-npts samples for an
+            # entirely-after window)
+            npts = self.stats.npts
+            left = max(0, min(i1, 0) - i0)
+            right = max(0, i1 - max(i0, npts))
+            lo = min(max(i0, 0), npts)
+            hi = max(min(i1, npts), lo)
+            data = self.data[lo:hi]
             if left or right:
                 data = np.concatenate([
                     np.full(left, fill_value, dtype=data.dtype),
@@ -384,9 +392,9 @@ def _lanczos_interp(x, pos, a):
         w = np.sinc(t) * np.sinc(t / a) * (np.abs(t) < a)
         out += np.where(valid, x[np.clip(idx, 0, n - 1)] * w, 0.0)
         wsum += np.where(valid, w, 0.0)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        out = np.where(wsum > 0, out / wsum * np.where(
-            wsum > 0, 1.0, 1.0), out)
+    # renormalize by the in-bounds kernel mass; zero-mass samples (all
+    # taps out of range) pass through as the accumulated 0
+    out = np.where(wsum > 0, out / np.where(wsum > 0, wsum, 1.0), out)
     return out
 
 
