@@ -202,6 +202,108 @@ class TestWriteRead:
         assert list(back.attrs["spans"]) == ["2021-01-01", "2021-01-02"]
 
 
+class TestPackedCC:
+    """CF int16 packed-data storage (io/netcdf.py _pack_floats):
+    realizes the schema's reserved scale_factor/add_offset attrs
+    (reference xcorr/core/init.py:126-127)."""
+
+    def _packed(self, tmp_path, name="p.nc"):
+        ds = make_ccf_dataset()
+        ds.encoding["cc"] = {"zlib": True, "complevel": 1,
+                             "shuffle": True, "dtype": "int16"}
+        ds["cc"].values[0, 1, 3] = np.nan
+        path = str(tmp_path / name)
+        xio.to_netcdf(ds, path)
+        return ds, path
+
+    def test_pack_roundtrip(self, tmp_path):
+        import h5py
+        ds, path = self._packed(tmp_path)
+        with h5py.File(path, "r") as f:
+            assert f["cc"].dtype == np.int16
+            assert f["cc"].attrs["_FillValue"] == -32768
+            scale = float(f["cc"].attrs["scale_factor"])
+        cc = ds["cc"].values
+        assert scale == pytest.approx(
+            np.nanmax(np.abs(cc)) / 32765, rel=1e-12)
+        back = xio.from_netcdf(path)
+        assert back["cc"].dtype == np.float32
+        assert np.isnan(back["cc"].values[0, 1, 3])
+        good = ~np.isnan(cc)
+        np.testing.assert_allclose(back["cc"].values[good], cc[good],
+                                   atol=scale * 0.505)
+        # round trip re-packs: dtype carried in the recovered encoding,
+        # zlib settings recovered too (resume writes stay compressed)
+        assert back.encoding["cc"]["dtype"] == "int16"
+        assert back.encoding["cc"]["zlib"] is True
+        assert back.encoding["cc"]["complevel"] == 1
+
+    def test_pack_resume_rescale(self, tmp_path):
+        # a resume adding larger-amplitude windows must re-derive the
+        # scale from the updated data, not clip against the old max
+        _, path = self._packed(tmp_path)
+        back = xio.from_netcdf(path)
+        back["cc"].values[0, 2] *= 10.0
+        cc = back["cc"].values.copy()
+        import h5py
+        path2 = str(tmp_path / "p2.nc")
+        xio.to_netcdf(back, path2)
+        with h5py.File(path2, "r") as f:
+            scale = float(f["cc"].attrs["scale_factor"])
+        assert scale == pytest.approx(
+            np.nanmax(np.abs(cc)) / 32765, rel=1e-12)
+        again = xio.from_netcdf(path2)
+        good = ~np.isnan(cc)
+        np.testing.assert_allclose(again["cc"].values[good], cc[good],
+                                   atol=scale * 0.505)
+
+    def test_packed_validates_and_shrinks(self, tmp_path):
+        # the metadata hash ignores scale_factor/add_offset (reference
+        # hasher contract), so packed shards validate unchanged
+        ds = make_ccf_dataset(nlag=32768)  # noise f32 barely deflates
+        ds.encoding["cc"] = {"zlib": True, "complevel": 1,
+                             "shuffle": True, "dtype": "int16"}
+        ds["cc"].values[0, 1, 3] = np.nan
+        pp = str(tmp_path / "w_packed.nc")
+        pu = str(tmp_path / "w_plain.nc")
+        assert xio.write(ds, pp, verb=0) is not None
+        del ds.encoding["cc"]["dtype"]
+        assert xio.write(ds, pu, verb=0) is not None
+        back = xio.read(pp, verb=0)
+        assert back is not None  # validate passed
+        assert back["cc"].dtype == np.float32
+        import h5py
+
+        def cc_bytes(path):
+            with h5py.File(path, "r") as f:
+                return f["cc"].id.get_storage_size()
+
+        # noise-like f32 barely deflates; int16+shuffle roughly halves
+        assert cc_bytes(pp) < 0.6 * cc_bytes(pu)
+
+    def test_init_pack_cc(self, tmp_path):
+        from xcorr_tpu import init
+        ds = init(
+            pair="IM.H03S1..EDH-IU.RAR.10.BHZ",
+            starttime="2014-01-01", endtime="2014-01-02",
+            preprocess=example_process_dict(),
+            attrs={"institution": "i", "author": "a", "source": "s"},
+            sampling_rate=10.0, window_length=60.0, window_overlap=0.5,
+            pack_cc=True)
+        assert ds.encoding["cc"]["dtype"] == "int16"
+        rng = np.random.default_rng(1)
+        ds["cc"].values[:] = rng.normal(
+            size=ds["cc"].shape).astype(np.float32) * 0.5
+        ds["status"].values[:] = 1
+        path = str(tmp_path / "i.nc")
+        xio.write(ds, path, verb=0)
+        back = xio.read(path, verb=0)
+        assert back is not None
+        np.testing.assert_allclose(
+            back["cc"].values, ds["cc"].values,
+            atol=np.abs(ds["cc"].values).max() / 32765 * 0.505)
+
+
 class TestNcfile:
     def test_path_scheme(self):
         p = xio.ncfile("IM.H03S1..EDH-IU.RAR.10.BHZ",

@@ -200,6 +200,49 @@ def _encoding_kwargs(encoding):
     return kw
 
 
+def _pack_floats(data, idt, encoding):
+    """CF packed-data encoding: quantize a float array to ``idt``
+    (int16/int32) with ``scale_factor``/``add_offset`` attrs, NaN/inf
+    mapped to ``_FillValue`` (the integer minimum). The reference's CCF
+    schema already reserves the attrs (``xcorr/core/init.py:126-127``
+    placeholders scale_factor=1/add_offset=0); this realizes them.
+
+    Auto-derived scale: ``max|data - add_offset| / (imax - 2)`` — one
+    scale per variable per file (CF semantics). Quantization error is
+    ``scale/2`` absolute; for normalized CCFs (|cc| <= 1) that is
+    ~1.6e-5, the same order as the tunnel wire codec's per-row
+    quantization (util/xfer.py)."""
+    info = np.iinfo(idt)
+    fill = idt.type(encoding.get("_FillValue", info.min))
+    off = float(encoding.get("add_offset", 0.0))
+    scale = encoding.get("scale_factor")
+    finite = np.isfinite(data)
+    if scale is None:
+        m = float(np.max(np.abs(data[finite] - off))) if finite.any() \
+            else 0.0
+        scale = m / (info.max - 2) if m > 0 else 1.0
+    scale = float(scale)
+    q = np.round((data - off) / scale)
+    q = np.where(finite, np.clip(q, info.min + 1, info.max), fill)
+    attrs = {"scale_factor": np.float64(scale),
+             "add_offset": np.float64(off), "_FillValue": fill}
+    return q.astype(idt), attrs
+
+
+def pack_roundtrip(data, encoding):
+    """The exact value round trip a CF-packed variable undergoes through
+    :func:`to_netcdf` + :func:`from_netcdf` (quantize -> decode to
+    float32, non-finite -> NaN). ``write`` uses this to compute the
+    full-data sha256 on what a reader of the packed file will actually
+    see (the stored hash must match the reader's recomputed digest)."""
+    idt = np.dtype(encoding["dtype"])
+    q, attrs = _pack_floats(np.asarray(data), idt, encoding)
+    out = (q.astype(np.float32) * np.float32(attrs["scale_factor"])
+           + np.float32(attrs["add_offset"]))
+    out[q == attrs["_FillValue"]] = np.nan
+    return out
+
+
 def to_netcdf(ds: Dataset, path, mode: str = "w", engine=None, **kw):
     """Persist a Dataset as a netCDF-4 flavored HDF5 file."""
     with h5py.File(path, mode) as f:
@@ -226,6 +269,11 @@ def to_netcdf(ds: Dataset, path, mode: str = "w", engine=None, **kw):
 def _write_var(f, name, var, encoding):
     data, extra = _encode_data(np.asarray(var.data))
     kw = _encoding_kwargs(encoding)
+    pdt = (encoding or {}).get("dtype")
+    if pdt is not None and np.issubdtype(np.dtype(pdt), np.integer) \
+            and np.issubdtype(data.dtype, np.floating):
+        data, pack_attrs = _pack_floats(data, np.dtype(pdt), encoding)
+        extra = {**extra, **pack_attrs}
     if data.dtype == object:
         dset = f.create_dataset(name, shape=data.shape, dtype=_STR_DTYPE,
                                 **kw)
@@ -269,6 +317,36 @@ def from_netcdf(path, **kw) -> Dataset:
                     (dset.dims[i].keys()[0] if len(dset.dims[i]) else
                      f"phony_dim_{i}") for i in range(dset.ndim))
             data = _decode_data(dset[...], attrs)
+            # recover the storage encoding (zlib/shuffle/chunks) so a
+            # read -> modify -> write resume round trip preserves the
+            # file's compression instead of silently rewriting raw
+            enc = {}
+            if dset.compression == "gzip":
+                enc = {"zlib": True,
+                       "complevel": int(dset.compression_opts),
+                       "shuffle": bool(dset.shuffle)}
+            # CF packed data (integer storage + scale_factor/add_offset
+            # attrs): decode to float32, _FillValue -> NaN; the packing
+            # moves into ds.encoding[name] so round trips re-pack
+            if np.issubdtype(data.dtype, np.integer) and \
+                    ("scale_factor" in attrs or "add_offset" in attrs):
+                fill = attrs.pop("_FillValue", None)
+                scale = float(attrs.pop("scale_factor", 1.0))
+                off = float(attrs.pop("add_offset", 0.0))
+                mask = (data == fill) if fill is not None else None
+                # carry dtype (so round trips re-pack) but NOT the
+                # scale: the next write re-derives it from the updated
+                # data — a resume adding larger-amplitude windows must
+                # not clip against the old file's max
+                enc["dtype"] = str(data.dtype)
+                if fill is not None:
+                    enc["_FillValue"] = int(fill)
+                data = (data.astype(np.float32) * np.float32(scale)
+                        + np.float32(off))
+                if mask is not None:
+                    data[mask] = np.nan
+            if enc:
+                ds.encoding[name] = enc
             attrs.pop("_xcorr_dtype", None)
             if attrs.get("units") == "nanoseconds since 1970-01-01":
                 attrs.pop("units")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 
 from .. import util
@@ -54,8 +55,32 @@ def write(dataset, path: str, close: bool = True,
     if hash_data:
         if verb > 0:
             print("hash", end=". ")
+        # CF-packed variables (encoding dtype int16/int32 on float
+        # data): hash the quantize->decode round trip — the stored
+        # digest must match what a reader of the packed file recomputes
+        hash_src = dataset
+        packed = {}
+        if isdataset:
+            enc_all = variable_encoding or {}
+            for name in dataset.data_vars:
+                enc = {**dataset.encoding.get(name, {}), **enc_all}
+                pdt = enc.get("dtype")
+                if pdt is not None and \
+                        np.issubdtype(np.dtype(pdt), np.integer) and \
+                        np.issubdtype(dataset[name].dtype, np.floating):
+                    packed[name] = enc
+        if packed:
+            from ..ndlabel import DataArray
+            from .netcdf import pack_roundtrip
+            hash_src = dataset.copy()
+            for name, enc in packed.items():
+                da = dataset[name]
+                hash_src[name] = DataArray(
+                    pack_roundtrip(da.values, enc), dims=da.dims,
+                    name=name, attrs=dict(da.attrs))
+            hash_src.attrs = dataset.attrs
         dataset.attrs["sha256_hash"] = util.hasher.hash_Dataset(
-            dataset, metadata_only=False)
+            hash_src, metadata_only=False)
     else:
         dataset.attrs.pop("sha256_hash", None)
 

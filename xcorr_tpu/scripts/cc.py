@@ -132,6 +132,10 @@ def main(argv=None):
                         default=None, help="Receiver pair (repeatable)")
     parser.add_argument("--inventory", metavar="..", type=str, default=None,
                         help="Inventory JSON file")
+    parser.add_argument("--pack-cc", action="store_true",
+                        help="store cc CF-packed as int16 (per-file "
+                             "scale_factor): ~40%% smaller shards, "
+                             "~35%% faster writes, ~1.5e-5 quantization")
     utils.add_common_arguments(parser)
     args = parser.parse_args(argv)
 
@@ -149,6 +153,8 @@ def main(argv=None):
         from ..stream import Inventory
         inventory = Inventory.from_json(args.inventory)
     init_args["inventory"] = inventory
+    if args.pack_cc:
+        init_args["pack_cc"] = True
 
     from ..core.lazy import lazy_process
     log.info("Batch correlate %d pairs x %d days -> %s",
