@@ -536,3 +536,70 @@ class TestFourStepPlan:
         flat_max = len(p["out_rows"]) * p["N2"]
         for s, ln in p["segs_flat"]:
             assert 0 <= s and s + ln <= flat_max
+
+
+class TestFourStepSequenceParallel:
+    """SURVEY.md §2.8 P6: the k1 (slow DFT) axis of the four-step shards
+    over a mesh axis — intra-op "sequence parallelism" for single windows
+    whose working set exceeds one chip's HBM. Stage A frees k1, all
+    middle stages are row-local, and the pruned inverse contracts over
+    k1, so GSPMD's only collective is the inverse reduction over ICI.
+
+    All host-mesh tests run ``stageb='matmul'``: XLA's CPU fft thunk
+    RET_CHECKs on the layouts sharding induces (see the
+    ``plan_correlate4`` docstring); on TPU both stage-B forms shard."""
+
+    def _data(self, n=2000, b=4, seed=7):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(b, n)).astype(np.float32)
+        y = rng.normal(size=(b, n)).astype(np.float32)
+        return x, y
+
+    def test_seq_sharded_matches_unsharded(self):
+        import jax
+        from jax.sharding import Mesh
+        from xcorr_tpu.ops import fft4
+        n, imin, imax = 2000, 1500, 3000
+        x, y = self._data(n)
+        want = np.asarray(
+            fft4.plan_correlate4(n, imin, imax, n1=16)(x, y))
+        devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("batch", "seq"))
+        fn = fft4.plan_correlate4(n, imin, imax, n1=16,
+                                  stageb="matmul", mesh=mesh)
+        got = np.asarray(fn(x, y))
+        # identical math; only the f32 reduction order differs across
+        # the seq shards
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=5e-8)
+        # the pruned inverse contraction over the sharded k1 axis must
+        # lower to a cross-device reduction
+        hlo = fn.lower(x, y).compile().as_text()
+        assert "all-reduce" in hlo or "reduce-scatter" in hlo
+
+    def test_seq_only_mesh_and_missing_axis_names(self):
+        import jax
+        from jax.sharding import Mesh
+        from xcorr_tpu.ops import fft4
+        n, imin, imax = 2000, 1999, 3000
+        x, y = self._data(n, b=2, seed=8)
+        want = np.asarray(
+            fft4.plan_correlate4(n, imin, imax, n1=16)(x, y))
+        # 1-D seq-only mesh: the default mesh_axes ("batch", "seq")
+        # must tolerate the absent batch axis (the doubly permuted
+        # matmul fast axis is row-local, so sharding is unchanged)
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), ("seq",))
+        got = np.asarray(fft4.plan_correlate4(
+            n, imin, imax, n1=16, stageb="matmul", mesh=mesh)(x, y))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-7)
+
+    def test_mesh_rejects_pallas_and_packed(self):
+        import jax
+        from jax.sharding import Mesh
+        from xcorr_tpu.ops import fft4
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), ("seq",))
+        with pytest.raises(ValueError, match="single-chip"):
+            fft4.plan_correlate4(2000, 1999, 3000, n1=16,
+                                 stageb="pallas", mesh=mesh)
+        with pytest.raises(ValueError, match="packed"):
+            fft4.plan_correlate4(2000, 1999, 3000, n1=16,
+                                 packed=True, mesh=mesh)

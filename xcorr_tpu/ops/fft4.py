@@ -205,7 +205,8 @@ def _freq_reverse2(Z):
 def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
                     n1: int = None, normalize: bool = True,
                     packed: bool = False, stageb: str = "fft",
-                    precision: str = "high", pre_padded: bool = False):
+                    precision: str = "high", pre_padded: bool = False,
+                    mesh=None, mesh_axes=("batch", "seq")):
     """Build the jitted four-step correlation ``f(x, y) -> ccf``.
 
     x, y: (B, n) float32. Output: (B, index_max - index_min) float32 in
@@ -232,6 +233,26 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     then doubly permuted; the inverse runs the exact adjoint, so the
     correlation is unaffected.
 
+    ``mesh``: a :class:`jax.sharding.Mesh` enabling **sequence-parallel**
+    execution (SURVEY.md §2.8 P6 — the one intra-op sharding worth
+    building: single windows whose four-step working set exceeds one
+    chip's HBM). The ``(B, N1, N2)`` spectral planes shard over
+    ``mesh_axes = (batch_axis, seq_axis)``: the batch axis over windows
+    and the **k1 (slow DFT) axis over seq devices** — stage A's output
+    rows split cleanly because k1 is a *free* einsum index, the twiddle /
+    stage-B / spectral multiply / inverse stage-B are all row-local, and
+    the pruned inverse DFT contracts over k1, which GSPMD lowers to a
+    ``reduce-scatter``/``all-reduce`` riding ICI. Either entry of
+    ``mesh_axes`` may be ``None`` (axis unsharded); axis names absent
+    from the mesh are treated as ``None``. Only the XLA paths
+    (``stageb='fft' | 'matmul'``) support a mesh; the fused single-chip
+    Pallas kernel and the ``packed`` Hermitian trick (whose frequency
+    reversal permutes across rows) raise ``ValueError``. On virtual
+    **CPU** meshes use ``stageb='matmul'``: XLA's host fft thunk
+    RET_CHECKs on the non-dim0-major layouts sharding induces
+    (``fft_thunk.cc: IsMonotonicWithDim0Major``), while the all-matmul
+    six-step has no FFT op to trip it.
+
     Swept on v5e at day scale: n1=576 -> 17.9 pair-days/s, 1024 -> 17.3,
     1152/2304 -> 16.2, 512 -> 16.4, 256 -> 11.5 (monolithic: 4.8).
     ``stageb='pallas'`` (the accelerator default via :mod:`ops.cc`) runs
@@ -255,6 +276,45 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     index_max = nn if index_max is None else index_max
     p = _plan(n, index_min, index_max, n1)
     N1, N2, N, rows_in = p["N1"], p["N2"], p["N"], p["rows_in"]
+
+    if mesh is not None:
+        if stageb == "pallas":
+            raise ValueError(
+                "sequence-parallel meshes need the XLA four-step "
+                "(stageb='fft' or 'matmul'); the fused Pallas kernel is "
+                "single-chip")
+        if packed:
+            raise ValueError(
+                "packed Hermitian split frequency-reverses across k1 "
+                "rows (an all-to-all under a seq-sharded layout); use "
+                "packed=False with mesh")
+        batch_ax, seq_ax = mesh_axes
+        live = set(mesh.axis_names)
+        batch_ax = batch_ax if batch_ax in live else None
+        seq_ax = seq_ax if seq_ax in live else None
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+        _in_s = NamedSharding(mesh, _P(batch_ax, None))
+        _plane_s = NamedSharding(mesh, _P(batch_ax, seq_ax, None))
+        _out_s = NamedSharding(mesh, _P(batch_ax, None))
+
+        def _shard_in(a):
+            return jax.lax.with_sharding_constraint(a, _in_s)
+
+        def _shard_plane(a):
+            return jax.lax.with_sharding_constraint(a, _plane_s)
+
+        def _shard_out(a):
+            return jax.lax.with_sharding_constraint(a, _out_s)
+    else:
+        def _shard_in(a):
+            return a
+
+        def _shard_plane(a):
+            return a
+
+        def _shard_out(a):
+            return a
 
     if stageb == "pallas":
         return _build_pallas_corr(n, index_min, index_max, p, normalize,
@@ -336,12 +396,14 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
                 v.shape[0], rows_in, N2)
         A = A.astype(jnp.complex64)
         Ah = jnp.einsum("kr,brj->bkj", W1, A,
-                        precision=prec)  # MXU stage
+                        precision=prec)  # MXU stage (k1 a free index:
+        Ah = _shard_plane(Ah)            # rows split over seq devices)
         Ah = Ah * T
-        return fwd2(Ah)                          # stage B
+        return fwd2(Ah)                          # stage B (row-local)
 
     @jax.jit
     def corr(x, y):
+        x, y = _shard_in(x), _shard_in(y)
         W1 = jax.lax.complex(jnp.asarray(W1_re), jnp.asarray(W1_im))
         T = jax.lax.complex(jnp.asarray(T_re), jnp.asarray(T_im))
         W1inv = jax.lax.complex(jnp.asarray(Wi_re), jnp.asarray(Wi_im))
@@ -357,11 +419,14 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
             Fx = forward(x.astype(jnp.complex64), W1, T)
             Fy = forward(y.astype(jnp.complex64), W1, T)
             S = Fx * jnp.conj(Fy)
-        C = inv2(S)                               # (B, N1, N2)
+        S = _shard_plane(S)
+        C = inv2(S)                               # (B, N1, N2) row-local
         C = C * Tc
+        # contraction over the seq-sharded k1 axis -> GSPMD inserts the
+        # cross-device reduction (reduce-scatter/all-reduce over ICI)
         out = jnp.einsum("rk,bkj->brj", W1inv, C,
                          precision=prec)  # pruned MXU stage
-        out = out.real.reshape(x.shape[0], -1)
+        out = _shard_out(out.real.reshape(x.shape[0], -1))
         return _finish_ccf(out, x, y, segs_flat, normalize)
 
     return corr
