@@ -320,10 +320,15 @@ def measure_e2e(small):
             # stage can EXCEED the campaign wall — clamp from below by
             # the measured non-transfer stage time instead of zero.
             # 'fetch-archive' nests INSIDE 'prepare' (StageTimer sums
-            # per stage, so adding both would double-count it).
+            # per stage, so adding both would double-count it);
+            # 'shard-write' runs in the writer thread overlapping the
+            # readbacks (its un-overlapped tail is already inside
+            # wall - readback, and a real multi-core host parallelizes
+            # it), so it must not inflate the serial-host clamp.
             host_side = sum(v["wall_s"] for k, v in stages.items()
                             if k not in ("device-readback",
-                                         "fetch-archive"))
+                                         "fetch-archive",
+                                         "shard-write"))
             sec_pcie = max(wall - readback, host_side) / (
                 ndays * pair_day)
             out["projected_pair_year_s_v5e8_pcie_host"] = round(

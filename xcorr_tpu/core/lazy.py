@@ -162,36 +162,44 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
 
     results = {}
     pending = []
+    # the campaign timer (same object the engine stages report into);
+    # host-side costs outside the engine — shard read/init and the
+    # writer-thread netCDF writes — would otherwise be invisible in the
+    # stage breakdown (they showed up only as unexplained wall)
+    timer = kwargs.get("timer") or util.profiler.StageTimer()
     chunks = [pair_days[i:i + days_per_launch]
               for i in range(0, len(pair_days), days_per_launch)]
     with ThreadPoolExecutor(max_workers=2) as writer:
         for chunk in chunks:
             try:
                 items = []
-                for pair, time in chunk:
-                    # per-TASK isolation: a corrupt existing shard (or
-                    # any read/init error) must fail only its own
-                    # (pair, day), not starve every healthy chunk-mate
-                    # on this and all future resume runs
-                    try:
-                        nc = ncfile(pair, time, root)
-                        data = None if force_fresh else read(
-                            nc, fast=True, verb=0)
-                        if data is not None and \
-                                np.all(data["status"].values == 1):
-                            results[(pair, time)] = True
+                with timer("init-shards"):
+                    for pair, time in chunk:
+                        # per-TASK isolation: a corrupt existing shard
+                        # (or any read/init error) must fail only its
+                        # own (pair, day), not starve every healthy
+                        # chunk-mate on this and all future resume runs
+                        try:
+                            nc = ncfile(pair, time, root)
+                            data = None if force_fresh else read(
+                                nc, fast=True, verb=0)
+                            if data is not None and \
+                                    np.all(data["status"].values == 1):
+                                results[(pair, time)] = True
+                                continue
+                            if data is None:
+                                data = core_init(
+                                    pair=pair, starttime=time,
+                                    endtime=time + pd.Timedelta("1D"),
+                                    **{"inventory": inventory,
+                                       **init_args})
+                        except Exception as error:
+                            warnings.warn(
+                                f"{pair} {time} failed: {error}",
+                                UserWarning)
+                            results[(pair, time)] = False
                             continue
-                        if data is None:
-                            data = core_init(
-                                pair=pair, starttime=time,
-                                endtime=time + pd.Timedelta("1D"),
-                                **{"inventory": inventory, **init_args})
-                    except Exception as error:
-                        warnings.warn(f"{pair} {time} failed: {error}",
-                                      UserWarning)
-                        results[(pair, time)] = False
-                        continue
-                    items.append((pair, time, data, nc))
+                        items.append((pair, time, data, nc))
                 if not items:
                     continue
                 finalize, fallback = device_process_bulk(
@@ -229,10 +237,14 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                     def write_one(pair, time, data, nc):
                         # per-shard isolation: one failed write (disk
                         # full, transient IO) must not discard the
-                        # whole chunk's bookkeeping
+                        # whole chunk's bookkeeping. Timed as
+                        # "shard-write": runs in the writer thread, so
+                        # its wall OVERLAPS readbacks — a stage sum, not
+                        # extra campaign wall (except the final drain)
                         try:
-                            if np.any(data["status"].values == 1):
-                                write(data, nc, verb=0)
+                            with timer("shard-write"):
+                                if np.any(data["status"].values == 1):
+                                    write(data, nc, verb=0)
                             out[(pair, time)] = bool(
                                 np.all(data["status"].values == 1))
                         except Exception as error:
@@ -336,13 +348,17 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
             if r not in receivers_chain:
                 receivers_chain.append(r)
 
+    # campaign timer shared with the engine stages (see _device_bulk_run)
+    timer = kwargs.get("timer") or util.profiler.StageTimer()
+
     # 1. availability scan (parallel host IO)
     if verb > 0:
         print(f"Verify waveform availability for {len(receivers)} "
               f"receivers x {len(times)} days")
-    availability = client.verify_waveform_availability(
-        receivers, times, substitute=False, parallel=True,
-        download=download, verb=verb)
+    with timer("availability-scan"):
+        availability = client.verify_waveform_availability(
+            receivers, times, substitute=False, parallel=True,
+            download=download, verb=verb)
 
     # 2. preprocess verification on one fully-available day; no such
     # day means at least one receiver has no usable data at all — fail
@@ -360,13 +376,14 @@ def lazy_process(pairs: list, times, init_args: dict, client_args: dict,
     day = times[int(full_days[0])] + pd.Timedelta("12h")
     if verb > 0:
         print(f"Verify waveform preprocessing on {day}")
-    preprocessing = client.verify_waveform_processing(
-        receivers_chain, day,
-        operations=init_args["preprocess"],
-        inventory=inventory,
-        sampling_rate=init_args.get("sampling_rate"),
-        duration=init_args.get("window_length", 86400.0),
-        parallel=True, verb=verb)
+    with timer("preprocess-verify"):
+        preprocessing = client.verify_waveform_processing(
+            receivers_chain, day,
+            operations=init_args["preprocess"],
+            inventory=inventory,
+            sampling_rate=init_args.get("sampling_rate"),
+            duration=init_args.get("window_length", 86400.0),
+            parallel=True, verb=verb)
 
     # 3. gated fan-out
     pair_days = gated_pair_days(pairs, times, availability=availability,
