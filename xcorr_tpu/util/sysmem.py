@@ -69,6 +69,17 @@ def enable_persistent_compile_cache() -> bool:
     the config flags must be set explicitly. A cold day-scale chain
     compile through the axon tunnel costs 5-40 MINUTES — every batch
     entry point calls this so repeat runs skip it.
+
+    Also pins ``jax_include_full_tracebacks_in_locations=False``
+    (opt-out: ``XCORR_CACHE_SHORT_LOCATIONS=0``): full tracebacks embed
+    every CALLER frame's file:line into MLIR locations, and the Pallas
+    kernels' Mosaic payload carries those locations inside a string
+    attribute the cache key's ``strip-debuginfo`` pass cannot reach —
+    measured: inserting one comment line in ``ops/fft4.py`` rotated the
+    production pipeline's cache key (full 250-540 s recompile per
+    executable) despite byte-identical math. With single-frame
+    locations the key is invariant to caller-side line shifts; edits to
+    the kernel file itself still (correctly) invalidate.
     """
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache_dir:
@@ -78,6 +89,12 @@ def enable_persistent_compile_cache() -> bool:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0)
+        if os.environ.get("XCORR_CACHE_SHORT_LOCATIONS", "1") != "0":
+            try:
+                jax.config.update(
+                    "jax_include_full_tracebacks_in_locations", False)
+            except AttributeError:  # older jax: flag absent
+                pass
         return True
     except Exception:
         return False
