@@ -158,3 +158,24 @@ class TestCodecFuzz:
         tr.stats.npts = data.size
         back = mseed.read_mseed_bytes(mseed.encode_mseed(tr, reclen=256))
         np.testing.assert_array_equal(back[0].data, data)
+
+    def test_scan_matches_decode(self):
+        """Header-only scan (xcm_scan): per-record ids/starttimes/rates
+        and the total sample count must match the full decode across
+        record lengths."""
+        rng = np.random.default_rng(11)
+        for reclen in (256, 512, 4096):
+            n = int(rng.integers(1000, 30000))
+            tr = make_trace(n=1)
+            tr.data = rng.integers(-10000, 10000, n).astype(np.int32)
+            tr.stats.npts = n
+            payload = mseed.encode_mseed(tr, reclen=reclen)
+            segs = mseed.scan_mseed_bytes(payload)
+            dec = mseed.read_mseed_bytes(payload)
+            assert sum(s[2] for s in segs) == \
+                sum(t.stats.npts for t in dec) == n
+            assert all(s[0] == tr.id for s in segs)
+            assert all(s[3] == tr.stats.sampling_rate for s in segs)
+            # record starttimes advance by npts/rate (contiguous file)
+            for (_, t0, np0, r0), (_, t1, _, _) in zip(segs, segs[1:]):
+                assert abs((t1 - t0) - np0 / r0) < 1e-4

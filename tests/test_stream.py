@@ -215,6 +215,68 @@ class TestMaxGapGating:
         assert av.sel(receiver="IU.RAR.10.BHZ").values[0] == -1
 
 
+class TestScanAvailability:
+    """Header-only SDS availability scans (`SDSArchive.coverage` /
+    `Client._scan_availability_flag`): archived days resolve without a
+    Steim decode and must flag exactly like the full-fetch probe."""
+
+    @staticmethod
+    def _archive_day(root, fmt, missing_seconds=0.0, fs=5.0,
+                     day="2014-01-01"):
+        from xcorr_tpu.stream.sds import SDSArchive
+        n = int((86400 - missing_seconds) * fs)
+        rng = np.random.default_rng(1)
+        tr = Trace(rng.integers(-500, 500, size=n).astype(np.int32),
+                   Stats(network="IM", station="H03S1", location="",
+                         channel="EDH", starttime=day, sampling_rate=fs))
+        SDSArchive(root, format=fmt).write(Stream([tr]))
+
+    @pytest.mark.parametrize("fmt", ["mseed", "h5"])
+    def test_coverage_matches_decode(self, tmp_path, fmt):
+        from xcorr_tpu.stream.sds import SDSArchive
+        root = str(tmp_path / fmt)
+        self._archive_day(root, fmt, missing_seconds=400.0)
+        arch = SDSArchive(root)
+        segs = arch.coverage("IM.H03S1..EDH", pd.Timestamp("2014-01-01"))
+        st = arch.read("IM.H03S1..EDH", pd.Timestamp("2014-01-01"))
+        assert sum(n for _, _, n, _ in segs) == \
+            sum(tr.stats.npts for tr in st)
+        assert all(sid == "IM.H03S1..EDH" for sid, _, _, _ in segs)
+        assert all(r == 5.0 for _, _, _, r in segs)
+
+    @pytest.mark.parametrize("fmt", ["mseed", "h5"])
+    def test_flag_parity_with_full_probe(self, tmp_path, fmt):
+        day = pd.Timestamp("2014-01-01")
+        for sub, missing in (("full", 0.0), ("gappy", 400.0)):
+            root = str(tmp_path / fmt / sub)
+            self._archive_day(root, fmt, missing_seconds=missing)
+            fast = Client(sds_root=root)
+            slow = Client(sds_root=root, scan_availability=False)
+            assert fast._test_waveforms_for_date("IM.H03S1..EDH", day) \
+                == slow._test_waveforms_for_date("IM.H03S1..EDH", day) \
+                == (1 if missing == 0.0 else -1)
+            # a day absent from the archive falls through to the fetch
+            # waterfall on both paths (no remote configured -> -1)
+            other = pd.Timestamp("2014-01-02")
+            assert fast._test_waveforms_for_date("IM.H03S1..EDH", other) \
+                == slow._test_waveforms_for_date("IM.H03S1..EDH", other) \
+                == -1
+
+    def test_scan_probe_skips_decode(self, tmp_path, monkeypatch):
+        """The fast path must never call the decoding day-file reader."""
+        from xcorr_tpu.stream import sds as sds_mod
+        root = str(tmp_path / "a")
+        self._archive_day(root, "mseed")
+
+        def boom(path):
+            raise AssertionError("decode path used by availability scan")
+
+        monkeypatch.setattr(sds_mod, "read_dayfile", boom)
+        client = Client(sds_root=root)
+        assert client._test_waveforms_for_date(
+            "IM.H03S1..EDH", pd.Timestamp("2014-01-01")) == 1
+
+
 class TestDuration:
     def test_accounting(self):
         fs = 10.0

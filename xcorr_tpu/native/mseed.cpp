@@ -367,6 +367,85 @@ void xcm_free(Segment* segs, int n) {
     std::free(segs);
 }
 
+// Header-only scan: the record walk of xcm_decode with payload decoding
+// skipped — npts comes from the fixed header's sample count and
+// ``samples`` stays null. Availability/coverage scans of SDS day files
+// then cost a header walk (64 bytes per record looked at) instead of a
+// full Steim decode of the day. Records whose encoding xcm_decode would
+// skip are skipped here too, so scan coverage never exceeds decode
+// coverage (a corrupt payload can still decode SHORT of its header
+// count — callers treat the scan as advisory).
+int xcm_scan(const uint8_t* buf, int64_t len, Segment** out) {
+    std::vector<Segment> segs;
+    int64_t off = 0;
+    while (off + 64 <= len) {
+        const uint8_t* rec = buf + off;
+        char q = (char)rec[6];
+        if (!(q == 'D' || q == 'R' || q == 'Q' || q == 'M')) break;
+
+        bool be = true;
+        uint16_t year = rd_u16(rec + 20, be);
+        if (year < 1900 || year > 2100) {
+            be = false;
+            year = rd_u16(rec + 20, be);
+        }
+        uint16_t nblk_off = rd_u16(rec + 46, be);
+        int nblockettes = rec[39];
+
+        int encoding = 10;
+        int reclen = 512;
+        uint16_t boff = nblk_off;
+        for (int b = 0; b < nblockettes && boff >= 48 &&
+                        (int64_t)boff + 8 <= len - off; b++) {
+            uint16_t btype = rd_u16(rec + boff, be);
+            uint16_t bnext = rd_u16(rec + boff + 2, be);
+            if (btype == 1000) {
+                encoding = rec[boff + 4];
+                reclen = 1 << rec[boff + 6];
+                break;
+            }
+            if (bnext == 0 || bnext <= boff) break;
+            boff = bnext;
+        }
+        if (off + reclen > len) break;
+
+        uint16_t doy = rd_u16(rec + 22, be);
+        int hour = rec[24], minute = rec[25], sec = rec[26];
+        uint16_t frac = rd_u16(rec + 28, be);
+        int32_t timecorr = rd_i32(rec + 40, be);
+        bool corr_applied = (rec[36] & 0x02) != 0;
+
+        double t = (double)days_from_civil(year, doy) * 86400.0
+                   + hour * 3600.0 + minute * 60.0 + sec + frac * 1e-4;
+        if (!corr_applied) t += timecorr * 1e-4;
+
+        uint16_t nsamp = rd_u16(rec + 30, be);
+        double rate = samprate(rd_i16(rec + 32, be), rd_i16(rec + 34, be));
+
+        bool supported = encoding == 1 || encoding == 3 || encoding == 4 ||
+                         encoding == 5 || encoding == 10 || encoding == 11;
+        if (nsamp > 0 && supported) {
+            Segment s;
+            std::memset(&s, 0, sizeof(s));
+            std::memcpy(s.network, rec + 18, 2);
+            std::memcpy(s.station, rec + 8, 5);
+            std::memcpy(s.location, rec + 13, 2);
+            std::memcpy(s.channel, rec + 15, 3);
+            s.starttime = t;
+            s.sampling_rate = rate;
+            s.npts = nsamp;
+            s.dtype = 0;
+            s.samples = nullptr;
+            segs.push_back(s);
+        }
+        off += reclen;
+    }
+
+    *out = (Segment*)std::malloc(segs.size() * sizeof(Segment));
+    std::memcpy(*out, segs.data(), segs.size() * sizeof(Segment));
+    return (int)segs.size();
+}
+
 // Encode int32 samples as big-endian Steim1 miniSEED records.
 // Returns byte length; caller frees *out with xcm_free_bytes.
 int64_t xcm_encode_steim1(const char* net, const char* sta, const char* loc,

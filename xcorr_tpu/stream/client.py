@@ -41,6 +41,7 @@ class Client:
                  vdms_request=None, vdms_transport=None,
                  parallel: bool = False,
                  max_gap: float = 300.0, force_write: bool = False,
+                 scan_availability: bool = True,
                  verb: int = 0, **kwargs):
         if not (sds_root or sds_root_read or sds_root_write):
             if not isinstance(self, SyntheticClient):
@@ -65,6 +66,7 @@ class Client:
         self.parallel = parallel
         self.max_gap = max_gap
         self.force_write = force_write
+        self.scan_availability = scan_availability
         self.verb = verb
 
     # -- day-stream quality gating ---------------------------------------------
@@ -183,12 +185,55 @@ class Client:
                     return st
         return Stream()
 
+    def _scan_availability_flag(self, receiver: str, date):
+        """Header-only availability probe against the SDS archives.
+
+        Mirrors the slow path exactly: when a day file exists,
+        ``_get_waveforms_for_date`` returns its stream WITHOUT trying
+        remote tiers and ``check_duration`` sums the first SEED id's
+        ``npts/rate`` — so segments present here decide the flag
+        (1/-1) from header sample counts alone, and no segments means
+        "fall through to the full fetch path" (``None``). Scan errors
+        (corrupt file, native codec unavailable) also return ``None``
+        so the decoding path keeps the final word. Advisory by design:
+        a payload that decodes short of its header count is caught
+        later by the processing path's own gap handling.
+        """
+        try:
+            for archive in self.archives:
+                segs = archive.coverage(receiver, date)
+                if not segs:
+                    continue
+                per_id = {}
+                for seed_id, _t, npts, rate in segs:
+                    if npts > 0 and rate > 0:
+                        per_id.setdefault(seed_id, []).append(npts / rate)
+                if not per_id:
+                    return -1
+                time = sum(next(iter(per_id.values())))
+                return 1 if time >= 86400.0 - self.max_gap else -1
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception:
+            return None
+        return None
+
     def _test_waveforms_for_date(self, receiver: str, date,
                                  download: bool = False,
                                  verb: int = 0) -> int:
         """Availability probe for one (receiver, day): 1 = full day
         available (within ``max_gap``), -1 = missing/partial, -2 = the
-        fetch itself errored (``xcorr/stream/client.py:794-835``)."""
+        fetch itself errored (``xcorr/stream/client.py:794-835``).
+
+        With ``scan_availability`` (default), archived days resolve
+        from a header-only coverage scan (:meth:`SDSArchive.coverage`)
+        — no Steim decode per (receiver, day); days absent from the
+        archives still take the full fetch waterfall (and archive what
+        they download)."""
+        if self.scan_availability:
+            flag = self._scan_availability_flag(receiver, date)
+            if flag is not None:
+                return flag
         try:
             st = self._get_waveforms_for_date(receiver, date,
                                               download=download, verb=verb)

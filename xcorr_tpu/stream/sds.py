@@ -54,6 +54,20 @@ class SDSArchive:
             traces.extend(read_dayfile(path))
         return Stream(traces)
 
+    def coverage(self, seed_id: str, time) -> list:
+        """Header-only coverage of the day file(s) covering ``time``:
+        ``[(seed_id, starttime_epoch_s, npts, sampling_rate), ...]``
+        without decoding sample payloads — miniSEED files cost a
+        64-byte-per-record header walk (native ``xcm_scan``), HDF5 day
+        files an attribute read. Availability scans of long archives
+        then skip the full Steim decode per (receiver, day)."""
+        net, sta, loc, cha = seed_id.split(".")
+        pattern = self.path(net, sta, loc, cha, time)
+        segs = []
+        for path in sorted(glob(pattern)):
+            segs.extend(scan_dayfile(path))
+        return segs
+
     def write(self, stream: Stream, verb: int = 0):
         """Write each trace into its day slot.
 
@@ -90,6 +104,28 @@ def read_dayfile(path) -> list:
         return _read_dayfile_h5(path)
     from ..native.mseed import read_mseed
     return read_mseed(path)
+
+
+def scan_dayfile(path) -> list:
+    """Header-only coverage of one SDS day file: ``(seed_id,
+    starttime_epoch_s, npts, sampling_rate)`` per segment, no sample
+    decode (see :meth:`SDSArchive.coverage`)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == _HDF5_MAGIC:
+        import h5py
+        segs = []
+        with h5py.File(path, "r") as f:
+            for name in f:
+                a = f[name].attrs
+                seed_id = ".".join([
+                    str(a.get("network", "")), str(a.get("station", "")),
+                    str(a.get("location", "")), str(a.get("channel", ""))])
+                segs.append((seed_id, float(int(a["starttime_ns"]) / 1e9),
+                             int(a["npts"]), float(a["sampling_rate"])))
+        return segs
+    from ..native.mseed import scan_mseed
+    return scan_mseed(path)
 
 
 def _read_dayfile_h5(path):
