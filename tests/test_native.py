@@ -159,6 +159,32 @@ class TestCodecFuzz:
         back = mseed.read_mseed_bytes(mseed.encode_mseed(tr, reclen=256))
         np.testing.assert_array_equal(back[0].data, data)
 
+    @pytest.mark.parametrize("case", ["empty", "garbage", "truncated",
+                                      "short_header", "bad_blockette"])
+    def test_scan_survives_corrupt_input(self, case):
+        """xcm_scan must never crash or over-report on malformed buffers
+        — the availability probe treats scan failure as advisory and
+        falls back to the decoding path."""
+        tr = make_trace(n=3000)
+        good = mseed.encode_mseed(tr, reclen=512)
+        if case == "empty":
+            payload = b""
+        elif case == "garbage":
+            payload = bytes(np.random.default_rng(3).integers(
+                0, 256, 4096, dtype=np.uint8))
+        elif case == "truncated":
+            payload = good[: len(good) - 300]  # mid-record cut
+        elif case == "short_header":
+            payload = good[:40]
+        else:  # blockette chain pointing past the buffer
+            buf = bytearray(good[:512])
+            buf[46:48] = (60_000).to_bytes(2, "big")  # blockette offset
+            payload = bytes(buf)
+        segs = mseed.scan_mseed_bytes(payload)
+        dec = mseed.read_mseed_bytes(payload)
+        # scan coverage never exceeds decode coverage
+        assert sum(s[2] for s in segs) <= sum(t.stats.npts for t in dec)
+
     def test_scan_matches_decode(self):
         """Header-only scan (xcm_scan): per-record ids/starttimes/rates
         and the total sample count must match the full decode across
