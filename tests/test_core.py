@@ -176,6 +176,44 @@ class TestRoundtripAndPostprocess:
             root=root, nworkers=1, verb=0)
         assert all(results2)
 
+    def test_lazy_resume_partial_shard_keeps_data(self, tmp_path,
+                                                  monkeypatch):
+        """Resume of a PARTIAL shard must re-read real payloads: the
+        header-only fast-exit (zero-placeholder cc) only applies to
+        complete shards, and the re-written file keeps the already-
+        processed windows' data."""
+        import h5py
+        from xcorr_tpu.io import netcdf as ncmod
+        monkeypatch.setattr(ncmod, "_HEADER_ONLY_MAX_ELEMS", 8)
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=1, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        client = make_client()
+        assert all(xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, nworkers=1, verb=0))
+        f = xcorr_tpu.ncfile(PAIR, times[0], root)
+        before = xcorr_tpu.read(f)
+        cc_before = before["cc"].values.copy()
+        # knock two windows back to "not validated" in the file
+        with h5py.File(f, "r+") as h:
+            st = h["status"][...]
+            st[0, :2] = 0
+            h["status"][...] = st
+        # resume: partial shard -> full re-read -> reprocess -> rewrite
+        assert all(xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, nworkers=1, verb=0))
+        after = xcorr_tpu.read(f)
+        assert (after["status"].values == 1).all()
+        # untouched windows kept their REAL data (not zero placeholders)
+        np.testing.assert_allclose(after["cc"].values[0, 2:],
+                                   cc_before[0, 2:], rtol=2e-6, atol=1e-7)
+        assert np.abs(after["cc"].values[0, 2:]).max() > 0
+
     def test_postprocess_single_celerity_bound_km(self):
         """cmax alone must still convert km distances to meters for the
         lag clip (regression: the unit heuristic required BOTH bounds,

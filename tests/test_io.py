@@ -202,6 +202,70 @@ class TestWriteRead:
         assert list(back.attrs["spans"]) == ["2021-01-01", "2021-01-02"]
 
 
+class TestHeaderOnlyRead:
+    """Header-only shard reads (from_netcdf(header_only=True)): large
+    data payloads stay undecoded (zero placeholders) while status,
+    coords, attrs, and the metadata digest are identical to a full
+    read — the resume fast path's substrate."""
+
+    def test_status_and_validation_intact(self, tmp_path, monkeypatch):
+        from xcorr_tpu.io import netcdf as ncmod
+        monkeypatch.setattr(ncmod, "_HEADER_ONLY_MAX_ELEMS", 100)
+        ds = make_ccf_dataset()
+        ds["status"].values[0, 2] = -1
+        ds.attrs["sha256_hash_metadata"] = util.hasher.hash_Dataset(
+            ds, metadata_only=True)
+        path = str(tmp_path / "h.nc")
+        xio.write(ds, path, verb=0)
+        back = xio.read(path, header_only=True)
+        assert back is not None  # metadata digest verified
+        np.testing.assert_array_equal(back["status"].values,
+                                      ds["status"].values)
+        assert (back["cc"].values == 0).all()  # placeholder, not data
+        assert back.encoding.get("header_only") is True
+        # small vars and coords still decode
+        np.testing.assert_array_equal(back["distance"].values,
+                                      ds["distance"].values)
+        np.testing.assert_allclose(back.coords["lag"].values,
+                                   ds.coords["lag"].values)
+
+    def test_header_only_matches_full_metadata_hash(self, tmp_path,
+                                                    monkeypatch):
+        from xcorr_tpu.io import netcdf as ncmod
+        monkeypatch.setattr(ncmod, "_HEADER_ONLY_MAX_ELEMS", 100)
+        ds = make_ccf_dataset()
+        path = str(tmp_path / "m.nc")
+        xio.write(ds, path, verb=0)
+        full = xio.from_netcdf(path)
+        head = xio.from_netcdf(path, header_only=True)
+        assert util.hasher.hash_Dataset(head, metadata_only=True) == \
+            util.hasher.hash_Dataset(full, metadata_only=True)
+
+    def test_write_back_refused(self, tmp_path, monkeypatch):
+        from xcorr_tpu.io import netcdf as ncmod
+        monkeypatch.setattr(ncmod, "_HEADER_ONLY_MAX_ELEMS", 100)
+        ds = make_ccf_dataset()
+        path = str(tmp_path / "w.nc")
+        xio.write(ds, path, verb=0)
+        back = xio.from_netcdf(path, header_only=True)
+        with pytest.raises(ValueError, match="header-only"):
+            xio.to_netcdf(back, str(tmp_path / "w2.nc"))
+
+    def test_packed_cc_placeholder(self, tmp_path, monkeypatch):
+        """CF int16 packed shards decode their placeholder through the
+        same unpack branch (float32 zeros, encoding recovered)."""
+        from xcorr_tpu.io import netcdf as ncmod
+        monkeypatch.setattr(ncmod, "_HEADER_ONLY_MAX_ELEMS", 100)
+        ds = make_ccf_dataset()
+        ds.encoding["cc"] = {"zlib": True, "complevel": 1,
+                             "shuffle": True, "dtype": "int16"}
+        path = str(tmp_path / "p.nc")
+        xio.to_netcdf(ds, path)
+        back = xio.from_netcdf(path, header_only=True)
+        assert back["cc"].dtype == np.float32
+        assert back.encoding["cc"]["dtype"] == "int16"
+
+
 class TestPackedCC:
     """CF int16 packed-data storage (io/netcdf.py _pack_floats):
     realizes the schema's reserved scale_factor/add_offset attrs

@@ -43,9 +43,13 @@ def single_threaded_process(pair: str, time, init_args: dict,
     time = util.time.to_datetime(time)
     nc = ncfile(pair, time, root)
     if not force_fresh:
-        data = read(nc, fast=True, verb=verb)
+        # resume fast-exit from a header-only read (status + metadata,
+        # no cc decompression); partial shards re-read payloads below
+        data = read(nc, fast=True, verb=verb, header_only=True)
         if data is not None and np.all(data["status"].values == 1):
             return True
+        if data is not None:
+            data = read(nc, fast=True, verb=verb)
     if data is None:
         # the caller's inventory feeds init too (pair distance) unless
         # init_args overrides it — reference passes it explicitly
@@ -181,12 +185,16 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                         # chunk-mate on this and all future resume runs
                         try:
                             nc = ncfile(pair, time, root)
+                            # header-only resume fast-exit (no cc
+                            # decompression); partial shards re-read
                             data = None if force_fresh else read(
-                                nc, fast=True, verb=0)
+                                nc, fast=True, verb=0, header_only=True)
                             if data is not None and \
                                     np.all(data["status"].values == 1):
                                 results[(pair, time)] = True
                                 continue
+                            if data is not None:
+                                data = read(nc, fast=True, verb=0)
                             if data is None:
                                 data = core_init(
                                     pair=pair, starttime=time,

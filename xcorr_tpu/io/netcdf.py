@@ -245,6 +245,11 @@ def pack_roundtrip(data, encoding):
 
 def to_netcdf(ds: Dataset, path, mode: str = "w", engine=None, **kw):
     """Persist a Dataset as a netCDF-4 flavored HDF5 file."""
+    if ds.encoding.get("header_only"):
+        raise ValueError(
+            "refusing to write a header-only dataset: its large data "
+            "variables are zero placeholders (re-read without "
+            "header_only=True to persist)")
     with h5py.File(path, mode) as f:
         _write_attrs(f, ds.attrs)
         dims = ds.dims
@@ -298,9 +303,23 @@ def _write_var(f, name, var, encoding):
                         "_xcorr_dims": json.dumps(list(var.dims))})
 
 
-def from_netcdf(path, **kw) -> Dataset:
+# data variables above this element count are left undecoded by
+# header-only reads (resume/status scans); coordinates always decode
+_HEADER_ONLY_MAX_ELEMS = 65536
+
+
+def from_netcdf(path, header_only: bool = False, **kw) -> Dataset:
     """Load a Dataset written by :func:`to_netcdf` (or a compatible
-    netCDF-4 file using dimension scales)."""
+    netCDF-4 file using dimension scales).
+
+    ``header_only`` skips DECOMPRESSING large data variables (>
+    ``_HEADER_ONLY_MAX_ELEMS`` elements, e.g. the 1.6M-lag ``cc``
+    payload) and substitutes zero placeholders of the decoded
+    shape/dtype — every attribute/coordinate/encoding transform still
+    runs, so metadata digests and ``status``-flag checks are identical
+    to a full read at ~1% of the cost. The dataset is marked
+    ``encoding["header_only"]`` and :func:`to_netcdf` refuses to
+    persist it (placeholder payloads must never reach disk)."""
     ds = Dataset()
     with h5py.File(path, "r") as f:
         ds.attrs = _read_attrs(f)
@@ -316,7 +335,12 @@ def from_netcdf(path, **kw) -> Dataset:
                 var_dims = tuple(
                     (dset.dims[i].keys()[0] if len(dset.dims[i]) else
                      f"phony_dim_{i}") for i in range(dset.ndim))
-            data = _decode_data(dset[...], attrs)
+            if (header_only and name not in coord_names
+                    and dset.size > _HEADER_ONLY_MAX_ELEMS):
+                raw = np.zeros(dset.shape, dtype=dset.dtype)
+            else:
+                raw = dset[...]
+            data = _decode_data(raw, attrs)
             # recover the storage encoding (zlib/shuffle/chunks) so a
             # read -> modify -> write resume round trip preserves the
             # file's compression instead of silently rewriting raw
@@ -361,4 +385,6 @@ def from_netcdf(path, **kw) -> Dataset:
             else:
                 ds._vars[name] = da
     ds.encoding["source"] = str(path)
+    if header_only:
+        ds.encoding["header_only"] = True
     return ds

@@ -16,15 +16,22 @@ __all__ = ["read", "mfread"]
 
 
 def read(path, extract: bool = False, engine: str = None, verb: int = 0,
-         **kwargs):
+         header_only: bool = False, **kwargs):
     """Open and validate a single netCDF shard.
 
     ``extract=True`` masks cc by ``status == 1``
     (reference ``xcorr/io/read.py:89-91``).
+
+    ``header_only=True`` skips decompressing large data variables
+    (``cc`` becomes a zero placeholder; attrs/coords/status intact) —
+    for status/metadata checks such as resume scans; implies
+    ``fast`` validation and the result cannot be written back.
     """
+    if header_only:
+        kwargs.setdefault("fast", True)
     if isinstance(path, str):
         try:
-            dataset = from_netcdf(path)
+            dataset = from_netcdf(path, header_only=header_only)
         except (OSError, KeyError, ValueError) as error:
             if verb > 0:
                 print(f"Failed to open {path}: {error}")
