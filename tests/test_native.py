@@ -160,7 +160,8 @@ class TestCodecFuzz:
         np.testing.assert_array_equal(back[0].data, data)
 
     @pytest.mark.parametrize("case", ["empty", "garbage", "truncated",
-                                      "short_header", "bad_blockette"])
+                                      "short_header", "bad_blockette",
+                                      "bad_reclen_exp", "data_off_past_end"])
     def test_scan_survives_corrupt_input(self, case):
         """xcm_scan must never crash or over-report on malformed buffers
         — the availability probe treats scan failure as advisory and
@@ -176,9 +177,20 @@ class TestCodecFuzz:
             payload = good[: len(good) - 300]  # mid-record cut
         elif case == "short_header":
             payload = good[:40]
-        else:  # blockette chain pointing past the buffer
+        elif case == "bad_blockette":  # chain pointing past the buffer
             buf = bytearray(good[:512])
             buf[46:48] = (60_000).to_bytes(2, "big")  # blockette offset
+            payload = bytes(buf)
+        elif case == "bad_reclen_exp":
+            # blockette-1000 record-length exponent 31: 1<<31 must not
+            # walk the scan/decode off the buffer (regression: UB /
+            # negative reclen passed the bounds check)
+            buf = bytearray(good)
+            buf[54] = 31
+            payload = bytes(buf)
+        else:  # data offset >= reclen: no payload; scan must not count
+            buf = bytearray(good[:512])
+            buf[44:46] = (512).to_bytes(2, "big")
             payload = bytes(buf)
         segs = mseed.scan_mseed_bytes(payload)
         dec = mseed.read_mseed_bytes(payload)

@@ -335,7 +335,13 @@ def from_netcdf(path, header_only: bool = False, **kw) -> Dataset:
                 var_dims = tuple(
                     (dset.dims[i].keys()[0] if len(dset.dims[i]) else
                      f"phony_dim_{i}") for i in range(dset.ndim))
-            if (header_only and name not in coord_names
+            # one is-coordinate predicate for BOTH the placeholder
+            # decision and the ds._coords classification below — a
+            # foreign file's large dimension-scale coordinate must
+            # decode, not placeholder
+            is_coord = name in coord_names or (dims_json is None and
+                                               var_dims == (name,))
+            if (header_only and not is_coord
                     and dset.size > _HEADER_ONLY_MAX_ELEMS):
                 raw = np.zeros(dset.shape, dtype=dset.dtype)
             else:
@@ -379,8 +385,7 @@ def from_netcdf(path, header_only: bool = False, **kw) -> Dataset:
                     np.issubdtype(data.dtype, np.timedelta64):
                 attrs.pop("units")
             da = DataArray(data, dims=var_dims, name=name, attrs=attrs)
-            if name in coord_names or (dims_json is None and
-                                       var_dims == (name,)):
+            if is_coord:
                 ds._coords[name] = da
             else:
                 ds._vars[name] = da

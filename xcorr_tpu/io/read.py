@@ -28,7 +28,9 @@ def read(path, extract: bool = False, engine: str = None, verb: int = 0,
     ``fast`` validation and the result cannot be written back.
     """
     if header_only:
-        kwargs.setdefault("fast", True)
+        # binding, not a default: full-data-hash validation over the
+        # zero placeholders would always mismatch and return None
+        kwargs["fast"] = True
     if isinstance(path, str):
         try:
             dataset = from_netcdf(path, header_only=header_only)

@@ -274,13 +274,17 @@ int xcm_decode(const uint8_t* buf, int64_t len, Segment** out) {
             if (btype == 1000) {
                 encoding = rec[boff + 4];
                 data_be = rec[boff + 5] == 1;
-                reclen = 1 << rec[boff + 6];
+                // record-length exponent: spec range is 2^7..2^20; an
+                // out-of-range byte (corrupt file) must not shift into
+                // UB / a negative reclen that walks off the buffer
+                int lexp = rec[boff + 6];
+                reclen = (lexp >= 7 && lexp <= 20) ? (1 << lexp) : 0;
                 break;
             }
             if (bnext == 0 || bnext <= boff) break;
             boff = bnext;
         }
-        if (off + reclen > len) break;
+        if (reclen < 128 || off + reclen > len) break;
 
         uint16_t doy = rd_u16(rec + 22, be);
         int hour = rec[24], minute = rec[25], sec = rec[26];
@@ -401,13 +405,15 @@ int xcm_scan(const uint8_t* buf, int64_t len, Segment** out) {
             uint16_t bnext = rd_u16(rec + boff + 2, be);
             if (btype == 1000) {
                 encoding = rec[boff + 4];
-                reclen = 1 << rec[boff + 6];
+                // same corrupt-exponent guard as xcm_decode
+                int lexp = rec[boff + 6];
+                reclen = (lexp >= 7 && lexp <= 20) ? (1 << lexp) : 0;
                 break;
             }
             if (bnext == 0 || bnext <= boff) break;
             boff = bnext;
         }
-        if (off + reclen > len) break;
+        if (reclen < 128 || off + reclen > len) break;
 
         uint16_t doy = rd_u16(rec + 22, be);
         int hour = rec[24], minute = rec[25], sec = rec[26];
@@ -424,7 +430,12 @@ int xcm_scan(const uint8_t* buf, int64_t len, Segment** out) {
 
         bool supported = encoding == 1 || encoding == 3 || encoding == 4 ||
                          encoding == 5 || encoding == 10 || encoding == 11;
-        if (nsamp > 0 && supported) {
+        // mirror xcm_decode's payload gate (nbytes > 0): a record whose
+        // data offset leaves no payload decodes to nothing, so the scan
+        // must not count its header nsamp either
+        uint16_t data_off = rd_u16(rec + 44, be);
+        if (nsamp > 0 && supported && data_off >= 48 &&
+            (int)data_off < reclen) {
             Segment s;
             std::memset(&s, 0, sizeof(s));
             std::memcpy(s.network, rec + 18, 2);

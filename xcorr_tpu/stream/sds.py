@@ -114,13 +114,18 @@ def scan_dayfile(path) -> list:
         magic = f.read(4)
     if magic == _HDF5_MAGIC:
         import h5py
+
+        def _s(v):
+            # fixed-length HDF5 strings round-trip as bytes
+            return v.decode() if isinstance(v, bytes) else str(v)
+
         segs = []
         with h5py.File(path, "r") as f:
             for name in f:
                 a = f[name].attrs
                 seed_id = ".".join([
-                    str(a.get("network", "")), str(a.get("station", "")),
-                    str(a.get("location", "")), str(a.get("channel", ""))])
+                    _s(a.get("network", "")), _s(a.get("station", "")),
+                    _s(a.get("location", "")), _s(a.get("channel", ""))])
                 segs.append((seed_id, float(int(a["starttime_ns"]) / 1e9),
                              int(a["npts"]), float(a["sampling_rate"])))
         return segs
