@@ -277,6 +277,68 @@ class TestScanAvailability:
             "IM.H03S1..EDH", pd.Timestamp("2014-01-01")) == 1
 
 
+class TestSyntheticArchiveWaterfall:
+    """SyntheticClient with ``sds_root``: the production waterfall runs
+    — first fetch synthesizes AND archives, subsequent fetches read the
+    day file (codec path), availability scans the headers."""
+
+    def test_archive_then_read(self, tmp_path, monkeypatch):
+        root = str(tmp_path / "sds")
+        cl = SyntheticClient(sampling_rate=5.0, sds_root=root)
+        day = pd.Timestamp("2014-01-01")
+        st1 = cl._get_waveforms_for_date("IM.H03S1..EDH", day)
+        assert len(st1) and st1[0].stats.npts == int(86400 * 5)
+        # the day file landed in the SDS tree
+        from xcorr_tpu.stream.sds import SDSArchive
+        segs = SDSArchive(root).coverage("IM.H03S1..EDH", day)
+        assert sum(s[2] for s in segs) == int(86400 * 5)
+        # second fetch must come from the archive, not the synthesizer
+        monkeypatch.setattr(cl, "_synthesize_day",
+                            lambda *a: 1 / 0)
+        st2 = cl._get_waveforms_for_date("IM.H03S1..EDH", day)
+        np.testing.assert_allclose(st2[0].data, st1[0].data)
+        # availability resolves header-only from the archive too
+        assert cl._test_waveforms_for_date("IM.H03S1..EDH", day) == 1
+
+    @pytest.mark.parametrize("fmt", ["h5", "mseed"])
+    def test_concurrent_read_write_locked(self, tmp_path, fmt):
+        """Readers take the day file's shared lock: a prefetch thread
+        must never observe a half-written file (regression: h5 reads
+        raced archive writes and saw datasets without attrs)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from xcorr_tpu.stream.sds import SDSArchive
+        arch = SDSArchive(str(tmp_path / "sds"), format=fmt)
+        day = pd.Timestamp("2014-01-01")
+        rng = np.random.default_rng(0)
+        data = rng.integers(-500, 500, size=20_000).astype(np.int32)
+        tr = Trace(data, Stats(network="IM", station="H03S1", location="",
+                               channel="EDH", starttime=day,
+                               sampling_rate=5.0))
+        arch.write(Stream([tr]))
+
+        def hammer(k):
+            for _ in range(20):
+                if k % 2:
+                    arch.write(Stream([tr]))
+                else:
+                    st = arch.read("IM.H03S1..EDH", day)
+                    assert len(st) >= 1
+                    assert st[0].stats.npts == data.size
+                    segs = arch.coverage("IM.H03S1..EDH", day)
+                    assert sum(s[2] for s in segs) == data.size
+            return True
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            assert all(ex.map(hammer, range(6)))
+
+    def test_no_archive_stays_sds_free(self):
+        cl = SyntheticClient(sampling_rate=5.0)
+        st = cl._get_waveforms_for_date("IM.H03S1..EDH",
+                                        pd.Timestamp("2014-01-01"))
+        assert len(st) == 1
+        assert not cl.archives
+
+
 class TestDuration:
     def test_accounting(self):
         fs = 10.0

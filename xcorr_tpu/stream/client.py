@@ -501,6 +501,21 @@ class SyntheticClient(Client):
 
     def _get_waveforms_for_date(self, receiver: str, date, download=True,
                                 verb: int = 0):
+        """SDS-free by default; with archives configured (``sds_root``)
+        the full production waterfall runs — archive read first, the
+        synthesizer plays the remote tier, and fetched days archive
+        through the ``max_gap`` gate — so campaigns exercise the real
+        codec/scan read path on synthetic data."""
+        if self.archives:
+            return Client._get_waveforms_for_date(
+                self, receiver, date, download=download, verb=verb)
+        return self._synthesize_day(receiver, date)
+
+    def _remote_fetch(self, receiver: str, date, verb: int = 0):
+        # synthesis as the remote tier of the archive waterfall
+        return self._synthesize_day(receiver, date)
+
+    def _synthesize_day(self, receiver: str, date):
         date = to_datetime(date).normalize()
         key = (receiver, date.strftime("%Y%j"))
         if key in self.missing or receiver in self.missing:

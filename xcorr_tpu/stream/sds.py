@@ -25,6 +25,25 @@ __all__ = ["SDSArchive", "sds_path", "to_SDS"]
 _HDF5_MAGIC = b"\x89HDF"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _day_lock(path, exclusive: bool):
+    """fcntl flock on ``path + ".lock"``: exclusive for writers, shared
+    for readers. flock is tied to the open file description, so every
+    ``open`` here contends correctly across processes AND across
+    threads of one process (a reader must never see a day file
+    mid-write — h5py/mseed writes are not atomic)."""
+    import fcntl
+    with open(path + ".lock", "a") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+        try:
+            yield
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
 def sds_path(root, net, sta, loc, cha, time, sds_type="D"):
     """Canonical SDS day-file path (no extension, SDS convention)."""
     t = UTCDateTime(time)
@@ -46,12 +65,17 @@ class SDSArchive:
 
     def read(self, seed_id: str, time) -> Stream:
         """Read the day file covering ``time`` for ``seed_id``
-        (wildcards allowed via glob)."""
+        (wildcards allowed via glob). Reads take the day file's SHARED
+        lock: a prefetch thread must never observe a half-written file
+        (writers hold the exclusive lock; fcntl flock contends between
+        threads of one process too — each ``open`` is its own file
+        description)."""
         net, sta, loc, cha = seed_id.split(".")
         pattern = self.path(net, sta, loc, cha, time)
         traces = []
         for path in sorted(glob(pattern)):
-            traces.extend(read_dayfile(path))
+            with _day_lock(path, exclusive=False):
+                traces.extend(read_dayfile(path))
         return Stream(traces)
 
     def coverage(self, seed_id: str, time) -> list:
@@ -65,7 +89,8 @@ class SDSArchive:
         pattern = self.path(net, sta, loc, cha, time)
         segs = []
         for path in sorted(glob(pattern)):
-            segs.extend(scan_dayfile(path))
+            with _day_lock(path, exclusive=False):
+                segs.extend(scan_dayfile(path))
         return segs
 
     def write(self, stream: Stream, verb: int = 0):
@@ -76,22 +101,17 @@ class SDSArchive:
         per-SEED-id ``distributed.Lock`` (``xcorr/stream/client.py:
         321-323``; unlocked parallel SDS access corrupts files there).
         """
-        import fcntl
         for tr in stream:
             s = tr.stats
             path = self.path(s.network, s.station, s.location, s.channel,
                              s.starttime)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path + ".lock", "w") as lockf:
-                fcntl.flock(lockf, fcntl.LOCK_EX)
-                try:
-                    if self.format == "mseed":
-                        from ..native.mseed import write_mseed
-                        write_mseed(path, tr)
-                    else:
-                        write_dayfile_h5(path, tr)
-                finally:
-                    fcntl.flock(lockf, fcntl.LOCK_UN)
+            with _day_lock(path, exclusive=True):
+                if self.format == "mseed":
+                    from ..native.mseed import write_mseed
+                    write_mseed(path, tr)
+                else:
+                    write_dayfile_h5(path, tr)
             if verb > 0:
                 print(f"SDS write: {path}")
 
