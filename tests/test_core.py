@@ -89,6 +89,15 @@ class TestInit:
         with pytest.raises(KeyError):
             init_ds(attrs={"institution": "x", "author": "y"})
 
+    def test_init_complevel(self):
+        # default is the documented level-1 divergence; complevel=9
+        # restores the reference's exact storage config for every var.
+        assert init_ds().encoding["cc"]["complevel"] == 1
+        ds = init_ds(complevel=9)
+        for var in ("cc", "status", "distance"):
+            assert ds.encoding[var]["complevel"] == 9
+            assert ds.encoding[var]["zlib"] is True
+
 
 class TestProcess:
     def test_process_recovers_injected_delay(self):

@@ -27,8 +27,13 @@ def init(pair: str, starttime, endtime, preprocess: dict, attrs: dict,
          window_overlap: float = 0.875, clip_lag=None,
          unbiased_cc: bool = False, closed: str = "left",
          dtype=np.float32, inventory=None, stationary_poi: dict = None,
-         hash_waveforms: bool = False, pack_cc: bool = False):
+         hash_waveforms: bool = False, pack_cc: bool = False,
+         complevel: int = 1):
     """Initialize an N-D labelled CCF dataset for one receiver pair.
+
+    ``complevel`` sets the zlib level baked into every variable's
+    storage encoding (default 1 — see the divergence note below;
+    ``complevel=9`` restores the reference's exact storage config).
 
     ``pack_cc=True`` stores the ``cc`` variable CF-packed as int16 with
     a per-file ``scale_factor`` (realizing the schema's reserved
@@ -60,8 +65,10 @@ def init(pair: str, starttime, endtime, preprocess: dict, attrs: dict,
     # 3.3 s (measured; noise-like mantissas simply don't deflate).
     # Level 1 keeps the standard netCDF zlib encoding — files stay
     # readable by any netCDF tool — and cuts the dominant cost of the
-    # end-to-end shard pipeline. Override via write(variable_encoding=).
-    encoding = {"zlib": True, "complevel": 1, "shuffle": True}
+    # end-to-end shard pipeline. Override via init(complevel=) or
+    # write(variable_encoding=).
+    encoding = {"zlib": True, "complevel": int(complevel),
+                "shuffle": True}
 
     dataset = Dataset()
     dataset.attrs = {

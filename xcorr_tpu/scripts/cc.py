@@ -136,6 +136,9 @@ def main(argv=None):
                         help="store cc CF-packed as int16 (per-file "
                              "scale_factor): ~40%% smaller shards, "
                              "~35%% faster writes, ~1.5e-5 quantization")
+    parser.add_argument("--complevel", metavar="N", type=int, default=1,
+                        help="zlib level for shard variables (default 1; "
+                             "9 restores the reference's storage config)")
     utils.add_common_arguments(parser)
     args = parser.parse_args(argv)
 
@@ -155,6 +158,8 @@ def main(argv=None):
     init_args["inventory"] = inventory
     if args.pack_cc:
         init_args["pack_cc"] = True
+    if args.complevel != 1:
+        init_args["complevel"] = args.complevel
 
     from ..core.lazy import lazy_process
     log.info("Batch correlate %d pairs x %d days -> %s",
