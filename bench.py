@@ -143,6 +143,24 @@ def measure_reference(n, imin, imax):
     return time.time() - t0
 
 
+def _host_cpu(stages):
+    """Contention-free host CPU of the serial campaign chain: thread
+    CPU per stage, process CPU for the pooled preflight stages (which
+    run before anything else is live), excluding the wire-bound
+    readback, double-counted nested fetch, and the parallelizable
+    writer-thread shard writes."""
+    pooled = ("availability-scan", "preprocess-verify")
+    total = 0.0
+    for k, v in stages.items():
+        if k in ("device-readback", "fetch-archive", "shard-write"):
+            continue
+        if k in pooled:
+            total += v.get("process_cpu_s", v.get("cpu_s", 0.0))
+        else:
+            total += v.get("cpu_s", v["wall_s"])
+    return total
+
+
 def measure_e2e(small):
     """lazy_process(engine='device') pair-days/s including ALL IO,
     MEASURED over a multi-day campaign with the production overlap
@@ -251,7 +269,7 @@ def measure_e2e(small):
         # tunnel's rate swings 3-6x WITHIN a day, so run the campaign
         # twice and report the better one (same binary, same minute —
         # the slow run is link weather, not the framework)
-        wall, timer, walls = None, None, []
+        wall, timer, walls, tail = None, None, [], 0.0
         for rep, month in enumerate(("2014-02-01", "2014-03-01")):
             times = pd.date_range(month, periods=ndays, freq="1D")
             rep_timer = StageTimer()
@@ -265,6 +283,14 @@ def measure_e2e(small):
             walls.append(round(rep_wall, 2))
             if wall is None or rep_wall < wall:
                 wall, timer = rep_wall, rep_timer
+                # writer-drain tail: how long the campaign outlives its
+                # LAST device readback (final chunk's netCDF writes
+                # draining on the writer thread). A per-campaign
+                # CONSTANT (one chunk's writes), not a per-pair-day
+                # cost — projections must not scale it by 366.
+                last_rb = rep_timer.last_end("device-readback")
+                tail = max(0.0, time.perf_counter() - last_rb) \
+                    if last_rb else 0.0
         pair_day = window / 86400.0
         sec = wall / (ndays * pair_day)
         stages = timer.as_dict()
@@ -319,33 +345,81 @@ def measure_e2e(small):
             # docs/PARITY.md "Tunneled-link wire codec"): quantization
             # <=1.6e-5 absolute on normalized CCFs, f32 elsewhere
             "wire_pack": "i16" if packed else "off",
-            "stage_breakdown_s": {k: v["wall_s"]
+            # wall = as-run on this host (incl. contention + wire
+            # waits); cpu = thread CPU seconds, the contention-free
+            # cost a dedicated core pays for the stage
+            "stage_breakdown_s": {k: {"wall": v["wall_s"],
+                                      "cpu": v.get("cpu_s", 0.0),
+                                      "process_cpu":
+                                          v.get("process_cpu_s", 0.0)}
                                   for k, v in stages.items()},
+            "writer_drain_tail_s": round(tail, 2),
         }
         if not small and readback:
-            # this harness reaches the chip through a ~40 MB/s tunnel;
-            # a real TPU host moves host<->device data over PCIe (GB/s),
-            # where the measured readback wait (and the in-stage h2d
-            # share of 'device-dispatch') vanishes. Report that
-            # projection separately, from measured components. The
-            # writer thread overlaps per-launch readbacks with each
-            # other and with the next chunk, so the summed readback
-            # stage can EXCEED the campaign wall — clamp from below by
-            # the measured non-transfer stage time instead of zero.
-            # 'fetch-archive' nests INSIDE 'prepare' (StageTimer sums
-            # per stage, so adding both would double-count it);
-            # 'shard-write' runs in the writer thread overlapping the
-            # readbacks (its un-overlapped tail is already inside
-            # wall - readback, and a real multi-core host parallelizes
-            # it), so it must not inflate the serial-host clamp.
-            host_side = sum(v["wall_s"] for k, v in stages.items()
-                            if k not in ("device-readback",
-                                         "fetch-archive",
-                                         "shard-write"))
-            sec_pcie = max(wall - readback, host_side) / (
+            # this harness reaches the chip through a ~40 MB/s tunnel
+            # AND runs every host stage on ONE core — a real TPU host
+            # moves host<->device data over PCIe (GB/s) and has cores
+            # to spare, so (a) the readback wait vanishes, (b) host
+            # stage WALLS are inflated by mutual contention (writer
+            # zlib steals the core from fetch/prepare), where thread
+            # CPU seconds are the contention-free cost. Project from
+            # measured components:
+            #   steady/pd = max(wall - readback - drain tail,
+            #                   host cpu excl. overlappable stages)
+            #   pair-year = steady * 366/8 + drain tail (the tail is a
+            #   per-campaign constant — one chunk's writes — NOT a
+            #   per-pair-day cost).
+            # 'fetch-archive' nests INSIDE 'prepare' (adding both
+            # double-counts); 'shard-write' runs on the writer thread
+            # and parallelizes on a multi-core host, so neither enters
+            # the serial-host CPU clamp. The preflight stages fan out
+            # to thread pools (their CPU lands on pool threads, not the
+            # timed one) — they run serially BEFORE any device work, so
+            # the whole-process CPU delta is their true cost.
+            host_cpu = _host_cpu(stages)
+            sec_pcie = max(wall - readback - tail, host_cpu) / (
                 ndays * pair_day)
+            out["host_cpu_s_per_pair_day"] = round(
+                host_cpu / (ndays * pair_day), 3)
             out["projected_pair_year_s_v5e8_pcie_host"] = round(
-                sec_pcie * 366 / 8, 1)
+                sec_pcie * 366 / 8 + tail, 1)
+
+        if not small:
+            # fast-storage production config (the xcorr-cc --pack-cc
+            # --complevel 0 flags): CF int16-packed CCFs, uncompressed
+            # shards — write 1.1 -> 0.37 s/shard measured, quantization
+            # max|cc|/32765/2 (~1.5e-5 normalized). Same device
+            # executables (storage is host-side), one measured campaign.
+            fast_args = dict(init_args, pack_cc=True, complevel=0)
+            times = pd.date_range("2014-02-01", periods=ndays, freq="1D")
+            fast_timer = StageTimer()
+            t0 = time.time()
+            results = lazy_process(
+                pairs, times, fast_args, client, inventory=inv,
+                root=os.path.join(root, "fast"), engine="device",
+                days_per_launch=days_per_launch, verb=0,
+                timer=fast_timer)
+            fast_wall = time.time() - t0
+            last_rb = fast_timer.last_end("device-readback")
+            fast_tail = max(0.0, time.perf_counter() - last_rb) \
+                if last_rb else 0.0
+            if all(results):
+                fstages = fast_timer.as_dict()
+                frb = fstages.get("device-readback",
+                                  {}).get("wall_s", 0.0)
+                fcpu = _host_cpu(fstages)
+                fsec = fast_wall / (ndays * pair_day)
+                fpcie = max(fast_wall - frb - fast_tail, fcpu) / (
+                    ndays * pair_day)
+                out["fast_storage"] = {
+                    "config": "pack_cc=True complevel=0 "
+                              "(xcorr-cc --pack-cc --complevel 0)",
+                    "seconds_per_pair_day": round(fsec, 2),
+                    "pair_days_per_s": round(1.0 / fsec, 4),
+                    "writer_drain_tail_s": round(fast_tail, 2),
+                    "projected_pair_year_s_v5e8_pcie_host": round(
+                        fpcie * 366 / 8 + fast_tail, 1),
+                }
         return out
 
 

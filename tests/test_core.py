@@ -752,6 +752,16 @@ class TestDeviceEngine:
         d = timer.as_dict()
         assert d["device-dispatch"]["items"] > 0
         assert "GB" in d["device-dispatch"]  # span bytes were counted
+        # thread-CPU seconds accompany wall (contention diagnostics):
+        # cpu <= wall + epsilon for any single-threaded stage
+        for stage in ("fetch-archive", "device-dispatch"):
+            assert 0.0 <= d[stage]["cpu_s"] <= d[stage]["wall_s"] + 0.05
+        # drain-tail support: last_end is a perf_counter stamp in the
+        # past for every recorded stage
+        import time as _time
+        assert timer.last_end("device-readback") is not None
+        assert timer.last_end("device-readback") <= _time.perf_counter()
+        assert timer.last_end("never-ran") is None
 
         ds2 = init_ds(endtime=pd.Timestamp("2014-01-01T02:00"))
         device_process(ds2, client=make_client(), verb=2)

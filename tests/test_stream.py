@@ -548,3 +548,71 @@ class TestVdmsTimeout:
             st = client.get_waveforms("IM.H03S1..EDH", "2014-01-01")
         assert len(st) == 0
         assert client.last_request[1] == "QUEUED"
+
+
+class TestStreamMerge:
+    """Interval-based merge: dtype preservation, gap fills, and the
+    documented NaN-payload passthrough (previous sentinel-based fill
+    would have bridged in-data NaNs)."""
+
+    @staticmethod
+    def _tr(data, t0_s, fs=1.0, dtype=None):
+        from xcorr_tpu.stream.trace import UTCDateTime
+        data = np.asarray(data, dtype=dtype)
+        return Trace(data, Stats(
+            network="N", station="S", location="", channel="C",
+            sampling_rate=fs,
+            starttime=UTCDateTime("2014-01-01") + t0_s))
+
+    def test_contiguous_preserves_dtype(self):
+        st = Stream([self._tr(np.arange(5), 0, dtype=np.float32),
+                     self._tr(np.arange(5), 5, dtype=np.float32)])
+        st.merge(method=1)
+        assert len(st) == 1
+        assert st[0].data.dtype == np.float32
+        np.testing.assert_array_equal(
+            st[0].data, np.r_[np.arange(5), np.arange(5)])
+
+    def test_gap_interpolate_matches_linear_bridge(self):
+        # samples 0..4 then 8..9: gap indices 5,6,7 bridge 4.0 -> 80.0
+        st = Stream([self._tr([0, 1, 2, 3, 4.0], 0),
+                     self._tr([80, 90.0], 8)])
+        st.merge(method=1, fill_value="interpolate")
+        got = st[0].data
+        exp = np.interp(np.arange(10), [0, 1, 2, 3, 4, 8, 9],
+                        [0, 1, 2, 3, 4, 80, 90])
+        np.testing.assert_allclose(got, exp, rtol=0, atol=0)
+
+    def test_gap_zero_fill_default(self):
+        st = Stream([self._tr([1.0, 1.0], 0), self._tr([2.0], 5)])
+        st.merge(method=1)
+        np.testing.assert_array_equal(st[0].data,
+                                      [1, 1, 0, 0, 0, 2.0])
+
+    def test_gap_method0_raises(self):
+        st = Stream([self._tr([1.0], 0), self._tr([2.0], 5)])
+        with pytest.raises(ValueError):
+            st.merge(method=0)
+
+    def test_int_traces_interpolate_promotes(self):
+        # samples at indices 0,1 and 4 -> gap 2,3 bridges 4 -> 8
+        st = Stream([self._tr([0, 4], 0, dtype=np.int32),
+                     self._tr([8], 4, dtype=np.int32)])
+        st.merge(method=1, fill_value="interpolate")
+        assert np.issubdtype(st[0].data.dtype, np.floating)
+        np.testing.assert_allclose(
+            st[0].data, [0.0, 4.0, 4 + 4 / 3, 4 + 8 / 3, 8.0])
+
+    def test_nan_payload_passes_through(self):
+        data = np.array([1.0, np.nan, 3.0])
+        st = Stream([self._tr(data, 0), self._tr([5.0, 6.0], 3)])
+        st.merge(method=1, fill_value="interpolate")
+        out = st[0].data
+        assert np.isnan(out[1])  # payload NaN untouched (no gap here)
+        np.testing.assert_array_equal(out[3:], [5.0, 6.0])
+
+    def test_overlap_later_trace_wins(self):
+        st = Stream([self._tr([1.0, 1.0, 1.0, 1.0], 0),
+                     self._tr([9.0, 9.0], 2)])
+        st.merge(method=1)
+        np.testing.assert_array_equal(st[0].data, [1, 1, 9, 9.0])

@@ -524,7 +524,12 @@ class SyntheticClient(Client):
         n = int(86400 * fs)
         rng = np.random.default_rng(
             _stable_seed(self.seed, receiver, date.strftime("%Y%j")))
-        data = self.noise_amplitude * rng.standard_normal(n)
+        # float32 end to end: real archives carry int32 counts or f32
+        # samples, and synthetic noise has no 53-bit content — f32 days
+        # halve archive size, read time and merged-span memory (the
+        # device pipeline is f32 anyway)
+        data = np.float32(self.noise_amplitude) * \
+            rng.standard_normal(n, dtype=np.float32)
 
         # shared source wavelet train: seeded by day only, delayed per
         # receiver; generated on a day grid so every receiver sees the

@@ -514,10 +514,18 @@ class Stream:
         return Stream(out)
 
     def merge(self, method=1, fill_value=None, interpolation_samples=0,
-              **kw):
+              dtype=None, **kw):
         """Merge traces with identical ids; gaps are filled
         (``fill_value='interpolate'`` linearly bridges gaps, matching the
         reference's canonical merge op, ``xcorr/stream/process.py:421-425``).
+
+        The output preserves the traces' common dtype (obspy-compatible;
+        pass ``dtype=`` to override) and gaps are tracked as INTERVALS
+        from the trace layout — no sentinel scan over the merged array,
+        so a day-scale union span merges in one allocation + one copy
+        pass. NaN samples INSIDE trace data are payload and pass through
+        untouched (obspy semantics; the previous NaN-sentinel fill would
+        have bridged them).
         """
         by_id = {}
         for t in self.traces:
@@ -528,22 +536,41 @@ class Stream:
             t0 = traces[0].stats.starttime
             t1 = max(t.stats.endtime for t in traces)
             npts = int(round((t1 - t0) * fs)) + 1
-            data = np.full(npts, np.nan)
+            out_dtype = dtype or np.result_type(
+                *(t.data.dtype for t in traces))
+            interpolate = (fill_value == "interpolate")
+            if not np.issubdtype(out_dtype, np.floating) and (
+                    interpolate or (
+                        isinstance(fill_value, float)
+                        and not (np.isfinite(fill_value)
+                                 and float(fill_value).is_integer()))):
+                out_dtype = np.float64  # float fill on integer traces
+            # covered-interval sweep (traces sorted by start): the
+            # first trace starts at index 0 and the last covered index
+            # is npts-1, so every gap is interior with valid samples on
+            # both sides
+            spans, gaps, cov_end = [], [], 0
             for t in traces:
                 i0 = int(round((t.stats.starttime - t0) * fs))
+                if i0 > cov_end:
+                    gaps.append((cov_end, i0))
+                cov_end = max(cov_end, i0 + t.stats.npts)
+                spans.append(i0)
+            if gaps and fill_value is None and method == 0:
+                raise ValueError("gaps present and no fill_value given")
+            # calloc: gap regions are already the default 0.0 fill
+            data = np.zeros(npts, dtype=out_dtype)
+            for i0, t in zip(spans, traces):
                 data[i0:i0 + t.stats.npts] = t.data
-            nans = np.isnan(data)
-            if nans.any():
-                if fill_value == "interpolate":
-                    idx = np.arange(npts)
-                    data[nans] = np.interp(idx[nans], idx[~nans],
-                                           data[~nans])
+            for g0, g1 in gaps:
+                if interpolate:
+                    # same formula as np.interp over the gap indices
+                    # with the nearest valid neighbors as knots
+                    data[g0:g1] = np.interp(
+                        np.arange(g0, g1), [g0 - 1, g1],
+                        [float(data[g0 - 1]), float(data[g1])])
                 elif fill_value is not None:
-                    data[nans] = fill_value
-                elif method == 0:
-                    raise ValueError("gaps present and no fill_value given")
-                else:
-                    data[nans] = 0.0
+                    data[g0:g1] = fill_value
             stats = traces[0].stats.copy()
             stats.npts = npts
             merged.append(Trace(data, stats))

@@ -37,27 +37,52 @@ class StageTimer:
 
     def __init__(self):
         self._wall = defaultdict(float)
+        self._cpu = defaultdict(float)
+        self._pcpu = defaultdict(float)
         self._bytes = defaultdict(int)
         self._items = defaultdict(int)
         self._calls = defaultdict(int)
+        self._last_end = {}
 
     @contextlib.contextmanager
     def __call__(self, stage: str, nbytes: int = 0, items: int = 0):
+        # thread CPU alongside wall: on a contended host (or with wire
+        # waits inside the stage) wall >> cpu, and the cpu number is the
+        # contention-free cost a dedicated core would pay. Stages timed
+        # from different threads each measure their own thread. A stage
+        # that fans work out to a thread pool shows cpu ~0 here (the
+        # pool threads' CPU lands on THEIR clocks) — process_cpu_s
+        # covers it: the whole-process CPU delta, exact when nothing
+        # else runs concurrently (e.g. campaign preflight stages), an
+        # upper bound otherwise.
         t0 = time.perf_counter()
+        c0 = time.thread_time()
+        p0 = time.process_time()
         try:
             yield self
         finally:
             self._wall[stage] += time.perf_counter() - t0
+            self._cpu[stage] += time.thread_time() - c0
+            self._pcpu[stage] += time.process_time() - p0
             self._bytes[stage] += nbytes
             self._items[stage] += items
             self._calls[stage] += 1
+            self._last_end[stage] = time.perf_counter()
 
     def add(self, stage: str, seconds: float, nbytes: int = 0,
-            items: int = 0):
+            items: int = 0, cpu_seconds: float = 0.0):
         self._wall[stage] += seconds
+        self._cpu[stage] += cpu_seconds
         self._bytes[stage] += nbytes
         self._items[stage] += items
         self._calls[stage] += 1
+        self._last_end[stage] = time.perf_counter()
+
+    def last_end(self, stage: str):
+        """perf_counter timestamp when the stage last finished (None if
+        it never ran) — lets callers measure drain tails, e.g. how long
+        a campaign outlives its final device readback."""
+        return self._last_end.get(stage)
 
     @property
     def stages(self):
@@ -67,6 +92,8 @@ class StageTimer:
         out = {}
         for stage, wall in self._wall.items():
             entry = {"wall_s": round(wall, 4),
+                     "cpu_s": round(self._cpu[stage], 4),
+                     "process_cpu_s": round(self._pcpu[stage], 4),
                      "calls": self._calls[stage]}
             if self._bytes[stage]:
                 entry["GB"] = round(self._bytes[stage] / 1e9, 3)
