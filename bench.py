@@ -250,8 +250,15 @@ def measure_e2e(small):
         # setup — archive building is acquisition, not campaign wall.
         client = SyntheticClient(sds_root=os.path.join(root, "sds"),
                                  **client_kw)
+        # centered 47h task spans reach one day PAST each campaign end
+        # (engine spans run times[0]-12h-buffer .. times[-1]+12h+buffer)
+        # — pre-populate the boundary days too, or the first/last chunks
+        # pay waterfall synthesis + archive writes inside the measured
+        # wall (and a re-run campaign like fast_storage would get a
+        # systematically lighter archive than rep 0 did)
         for month in ("2014-02-01", "2014-03-01"):
-            for t in pd.date_range(month, periods=ndays, freq="1D"):
+            first = pd.Timestamp(month) - pd.Timedelta(days=1)
+            for t in pd.date_range(first, periods=ndays + 2, freq="1D"):
                 for r in ("IM.H03S1..EDH", "IM.H03S2..EDH"):
                     client._get_waveforms_for_date(r, t)
 
@@ -423,6 +430,14 @@ def measure_e2e(small):
                     "projected_pair_year_s_v5e8_pcie_host": round(
                         fpcie * 366 / 8 + fast_tail, 1),
                 }
+            else:
+                # distinguish "config failed" from "never ran" in the
+                # artifact (lazy_process returns False per failed task
+                # instead of raising)
+                out["fast_storage"] = {
+                    "error": f"campaign incomplete: "
+                             f"{sum(bool(r) for r in results)}"
+                             f"/{len(results)} tasks succeeded"}
           except Exception as error:
             out["fast_storage"] = {"error": str(error)}
         return out

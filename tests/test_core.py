@@ -871,6 +871,38 @@ class TestDeviceEngine:
             np.testing.assert_array_equal(ds["time_offset"].values,
                                           ref["time_offset"].values)
 
+    def test_device_process_bulk_threaded_prepare(self):
+        """fetch_workers > 1 routes span prep through a thread pool:
+        results must match the serial path and the prep CPU must land
+        in the timer's "prepare-worker" stage (main-thread "prepare"
+        only waits there, so without the worker-side stage the pcie
+        host-CPU projection undercounts on multi-core hosts)."""
+        from xcorr_tpu.parallel.engine import device_process_bulk
+        from xcorr_tpu.util.profiler import StageTimer
+
+        def make(day):
+            t0 = pd.Timestamp(f"2014-01-0{day}")
+            return init_ds(starttime=t0,
+                           endtime=t0 + pd.Timedelta("2h"))
+
+        timer = StageTimer()
+        bulk = [make(1), make(2)]
+        finalize, fallback = device_process_bulk(
+            bulk, make_client(), verb=0, fetch_workers=2, timer=timer)
+        assert fallback == []
+        finalize()
+        stages = timer.as_dict()
+        assert stages["prepare-worker"]["calls"] == 2
+        assert stages["prepare-worker"]["cpu_s"] >= 0.0
+
+        serial = [make(1), make(2)]
+        fin2, _ = device_process_bulk(serial, make_client(), verb=0,
+                                      fetch_workers=1)
+        fin2()
+        for got, ref in zip(bulk, serial):
+            np.testing.assert_allclose(got["cc"].values,
+                                       ref["cc"].values, rtol=0, atol=0)
+
     def test_pipeline_executable_reused_across_days(self):
         """Different days (different window offsets) must reuse ONE
         compiled pipeline — offsets are traced arrays, not baked

@@ -331,6 +331,35 @@ class TestSyntheticArchiveWaterfall:
         with ThreadPoolExecutor(max_workers=6) as ex:
             assert all(ex.map(hammer, range(6)))
 
+    def test_read_only_archive_reads_lock_free(self, tmp_path,
+                                               monkeypatch):
+        """Reads must not require write access to the archive tree
+        (regression: open(path + '.lock', 'a') raised EROFS/EACCES on
+        read-only mounts — the common curated-archive setup). Writers
+        must still refuse to proceed without the lock."""
+        import builtins
+        from xcorr_tpu.stream.sds import SDSArchive
+        arch = SDSArchive(str(tmp_path / "sds"))
+        day = pd.Timestamp("2014-01-01")
+        tr = Trace(np.arange(1000, dtype=np.float32),
+                   Stats(network="IM", station="H03S1", location="",
+                         channel="EDH", starttime=day, sampling_rate=5.0))
+        arch.write(Stream([tr]))
+
+        real_open = builtins.open
+
+        def deny_lock(file, *a, **k):
+            if isinstance(file, str) and file.endswith(".lock"):
+                raise PermissionError(13, "read-only archive", file)
+            return real_open(file, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", deny_lock)
+        st = arch.read("IM.H03S1..EDH", day)  # lock-free fallback
+        assert len(st) == 1 and st[0].stats.npts == 1000
+        assert arch.coverage("IM.H03S1..EDH", day)
+        with pytest.raises(PermissionError):
+            arch.write(Stream([tr]))  # writers must not fall back
+
     def test_no_archive_stays_sds_free(self):
         cl = SyntheticClient(sampling_rate=5.0)
         st = cl._get_waveforms_for_date("IM.H03S1..EDH",
@@ -616,3 +645,20 @@ class TestStreamMerge:
                      self._tr([9.0, 9.0], 2)])
         st.merge(method=1)
         np.testing.assert_array_equal(st[0].data, [1, 1, 9, 9.0])
+
+    def test_numpy_float_fill_promotes_int_traces(self):
+        # regression: isinstance(fill_value, float) missed np.floating
+        # — np.float32 NaN crashed ("cannot convert float NaN to
+        # integer") and np.float32(0.5) silently truncated to 0
+        st = Stream([self._tr([1, 2], 0, dtype=np.int32),
+                     self._tr([7], 4, dtype=np.int32)])
+        st.merge(method=1, fill_value=np.float32(0.5))
+        assert np.issubdtype(st[0].data.dtype, np.floating)
+        np.testing.assert_allclose(st[0].data, [1, 2, 0.5, 0.5, 7.0])
+
+        st = Stream([self._tr([1, 2], 0, dtype=np.int32),
+                     self._tr([7], 4, dtype=np.int32)])
+        st.merge(method=1, fill_value=np.float64(np.nan))
+        out = st[0].data
+        assert np.issubdtype(out.dtype, np.floating)
+        assert np.isnan(out[2]) and np.isnan(out[3])

@@ -514,8 +514,18 @@ def device_process_bulk(datasets, client, inventory=None,
     tasks = []
     with timer("prepare"):
         if fetch_workers > 1 and len(jobs) > 1:
+            # pool threads have their OWN thread_time clocks: wrap each
+            # job in a worker-side stage so the prep CPU is recorded on
+            # multi-core hosts ("prepare" itself only sees the main
+            # thread, which mostly waits here). Nested "fetch-archive"
+            # CPU is contained in this stage's cpu_s, same as in the
+            # serial path where "prepare" contains it.
+            def prep_timed(job):
+                with timer("prepare-worker"):
+                    return prep(job)
+
             with ThreadPoolExecutor(max_workers=fetch_workers) as ex:
-                futs = [(job, ex.submit(prep, job)) for job in jobs]
+                futs = [(job, ex.submit(prep_timed, job)) for job in jobs]
                 for job, f in futs:
                     try:
                         tasks.extend(f.result())

@@ -36,7 +36,17 @@ def _day_lock(path, exclusive: bool):
     threads of one process (a reader must never see a day file
     mid-write — h5py/mseed writes are not atomic)."""
     import fcntl
-    with open(path + ".lock", "a") as lockf:
+    try:
+        lockf = open(path + ".lock", "a")
+    except OSError:
+        if exclusive:
+            raise  # a writer that cannot lock must not proceed
+        # read-only archive (EROFS/EACCES): nobody can be writing it
+        # either, so lock-free reads are safe — don't require write
+        # access just to read curated archives
+        yield
+        return
+    with lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
         try:
             yield

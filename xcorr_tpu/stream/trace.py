@@ -541,7 +541,7 @@ class Stream:
             interpolate = (fill_value == "interpolate")
             if not np.issubdtype(out_dtype, np.floating) and (
                     interpolate or (
-                        isinstance(fill_value, float)
+                        isinstance(fill_value, (float, np.floating))
                         and not (np.isfinite(fill_value)
                                  and float(fill_value).is_integer()))):
                 out_dtype = np.float64  # float fill on integer traces

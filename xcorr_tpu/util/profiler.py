@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from collections import defaultdict
 
@@ -36,6 +37,7 @@ class StageTimer:
     """
 
     def __init__(self):
+        self._lock = threading.Lock()
         self._wall = defaultdict(float)
         self._cpu = defaultdict(float)
         self._pcpu = defaultdict(float)
@@ -61,22 +63,24 @@ class StageTimer:
         try:
             yield self
         finally:
-            self._wall[stage] += time.perf_counter() - t0
-            self._cpu[stage] += time.thread_time() - c0
-            self._pcpu[stage] += time.process_time() - p0
+            with self._lock:  # stages may be timed from pool threads
+                self._wall[stage] += time.perf_counter() - t0
+                self._cpu[stage] += time.thread_time() - c0
+                self._pcpu[stage] += time.process_time() - p0
+                self._bytes[stage] += nbytes
+                self._items[stage] += items
+                self._calls[stage] += 1
+                self._last_end[stage] = time.perf_counter()
+
+    def add(self, stage: str, seconds: float, nbytes: int = 0,
+            items: int = 0, cpu_seconds: float = 0.0):
+        with self._lock:
+            self._wall[stage] += seconds
+            self._cpu[stage] += cpu_seconds
             self._bytes[stage] += nbytes
             self._items[stage] += items
             self._calls[stage] += 1
             self._last_end[stage] = time.perf_counter()
-
-    def add(self, stage: str, seconds: float, nbytes: int = 0,
-            items: int = 0, cpu_seconds: float = 0.0):
-        self._wall[stage] += seconds
-        self._cpu[stage] += cpu_seconds
-        self._bytes[stage] += nbytes
-        self._items[stage] += items
-        self._calls[stage] += 1
-        self._last_end[stage] = time.perf_counter()
 
     def last_end(self, stage: str):
         """perf_counter timestamp when the stage last finished (None if
