@@ -138,6 +138,25 @@ class TestFilter:
         want = sp_signal.sosfiltfilt(sos, x, axis=-1)
         np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
 
+    def test_sosfiltfilt_eager_uses_jitted_cache(self):
+        """Eager calls must route through the cached compiled cascade
+        (op-by-op associative-scan dispatch was 7.0 of 9.2 s of the
+        snr_ct benchmark) and match the traced path exactly."""
+        fs = 50.0
+        sos = ops.filter.butter_sos(2, 3.0, "highpass", fs)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 2000)))
+        before = ops.filter._filtfilt_jitted.cache_info()
+        eager = np.asarray(ops.filter.sosfiltfilt(sos, x))
+        eager2 = np.asarray(ops.filter.sosfiltfilt(sos, x))
+        after = ops.filter._filtfilt_jitted.cache_info()
+        assert after.hits > before.hits  # second call reused the closure
+        import jax
+        traced = np.asarray(jax.jit(
+            lambda d: ops.filter.sosfiltfilt(sos, d))(x))
+        np.testing.assert_allclose(eager, traced, rtol=0, atol=0)
+        np.testing.assert_array_equal(eager, eager2)
+
 
 class TestTaperDetrend:
     def test_demean(self):
