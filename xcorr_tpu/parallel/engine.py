@@ -314,18 +314,22 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
         chunk-over-chunk and across processes regardless of what the
         archive actually returned."""
         rel = {k: idx[k] for k in subset}
+        # the entry VALUE keeps the trace alive: an id() key is only
+        # sound while the object it names cannot be freed (a waiter
+        # refetch after an owner error holds its trace nowhere else, and
+        # a recycled address would alias another receiver's span)
         key = (id(tr),)
         with caches["lock"]:
-            data = caches["span"].get(key)
-        if data is None:
+            ent = caches["span"].get(key)
+        if ent is None:
             buf = np.zeros(need, dtype=np.float32)
             dst0, src0 = max(0, shift), max(0, -shift)
             n = min(int(tr.stats.npts) - src0, need - dst0)
             if n > 0:
                 buf[dst0:dst0 + n] = tr.data[src0:src0 + n]
             with caches["lock"]:
-                data = caches["span"].setdefault(key, buf)
-        return data, rel, need
+                ent = caches["span"].setdefault(key, (tr, buf))
+        return ent[1], rel, need
 
     tasks = []
     for rk, subset in epochs.items():
