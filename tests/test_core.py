@@ -521,6 +521,55 @@ class TestDeviceEngine:
         assert counts == {"IM.H03S1..EDH": 1, "IM.H03S2..EDH": 1,
                           "IM.H03S3..EDH": 1}, counts
 
+    def test_device_process_owner_fetch_failure_isolated(self):
+        """A transient archive error on a SHARED receiver fails only the
+        pair whose prepare owned the fetch: later pairs see the failed
+        cache entry, refetch independently (the waiter-refetch path),
+        and complete with correct CCFs. Regression cover for the span
+        cache holding refetched traces alive (engine.canonicalize)."""
+        from xcorr_tpu import ndlabel
+        from xcorr_tpu.parallel import device_process
+
+        delays = {"IM.H03S1..EDH": 0.0, "IM.H03S2..EDH": 4.0,
+                  "IM.H03S3..EDH": 9.0}
+        counts = {}
+
+        class FlakyClient(SyntheticClient):
+            def get_waveforms(self, receiver=None, **kw):
+                counts[receiver] = counts.get(receiver, 0) + 1
+                if receiver == "IM.H03S1..EDH" and counts[receiver] == 1:
+                    raise OSError("transient archive error")
+                return super().get_waveforms(receiver=receiver, **kw)
+
+        client = FlakyClient(sampling_rate=FS, delays=delays,
+                             source_period=600.0, source_amplitude=20.0)
+        inv = Inventory([
+            Channel("IM", "H03S1", "", "EDH",
+                    latitude=-33.6, longitude=-78.8),
+            Channel("IM", "H03S2", "", "EDH",
+                    latitude=-33.7, longitude=-78.9),
+            Channel("IM", "H03S3", "", "EDH",
+                    latitude=-33.8, longitude=-79.0),
+        ])
+        pairs = ["IM.H03S1..EDH-IM.H03S2..EDH",
+                 "IM.H03S1..EDH-IM.H03S3..EDH"]
+        ds = ndlabel.concat(
+            [init_ds(pair=p, inventory=inv,
+                     endtime=pd.Timestamp("2014-01-01T03:00"))
+             for p in pairs], "pair")
+        with pytest.warns(UserWarning, match="transient archive error"):
+            # serial prepare: pair 0 owns (and fails) the shared fetch
+            device_process(ds, client=client, verb=0, fetch_workers=1)
+        status = ds["status"].values
+        assert (status[0] == -1).all(), status  # owner pair flagged
+        assert (status[1] == 1).all(), status   # waiter pair completed
+        # the shared receiver was refetched once by the waiter
+        assert counts["IM.H03S1..EDH"] == 2, counts
+        # and the waiter's CCF is the real data, not a stale alias
+        lagv = ds.coords["lag"].values
+        peak = lagv[int(np.argmax(ds["cc"].values[1, 0]))]
+        assert abs(peak - (-9.0)) < 1.0, peak
+
     def test_device_bulk_union_span_fetch(self):
         """Multi-day bulk calls fetch ONE union span per receiver (the
         consecutive days' task spans overlap ~50%) and the results
