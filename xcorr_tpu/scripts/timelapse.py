@@ -78,41 +78,39 @@ def _normed(a):
     return a / jnp.where(n == 0, 1.0, n)
 
 
-def correlate_spectrograms(specs, i_idx, j_idx, batch: int = 64,
-                           mesh=None):
-    """Batched normalized 2-D correlation peaks between spectrogram pairs.
+#: jitted per-batch cell correlators, one per mesh sharding (jit's own
+#: cache handles the (stack shape, batch) specializations)
+_corr_steps = {}
 
-    specs: (T, F, L) stack; (i_idx, j_idx): cell index lists.
-    Returns (peak, df_shift, dl_shift) arrays of len(cells), where the
-    shifts are argmax offsets in bins relative to zero lag.
-    ``mesh``: optional device mesh — cell batches shard over its
-    ``batch`` axis (SURVEY.md §2.8 P2 on real devices).
-    """
-    nf = ops.fft.next_fast_len(2 * specs.shape[-2] - 1)
-    nl = ops.fft.next_fast_len(2 * specs.shape[-1] - 1)
-    n1, n2 = specs.shape[-2], specs.shape[-1]
 
+def _corr_step(mesh):
+    """One compiled executable per cell batch: gather both spectrogram
+    stacks, normalize, 2-D correlate, extract the peak + argmax shifts
+    — fused end to end. The former eager per-op loop dispatched
+    thousands of tiny primitives AND recompiled on every distinct tail
+    batch shape (1.4 of 2.5 s of an 8-day campaign was in-run
+    compilation); the fixed-batch jit compiles once per geometry."""
+    import jax
+    from ..parallel.pipeline import mesh_fingerprint
+    key = mesh_fingerprint(mesh)
+    fn = _corr_steps.get(key)
+    if fn is not None:
+        return fn
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        import jax
         sharding = NamedSharding(mesh, P("batch", None, None))
-        ndev = mesh.devices.size
-        batch = max(batch, ndev) // ndev * ndev  # device multiple
 
-    peaks = np.empty(len(i_idx), dtype=np.float32)
-    dfs = np.empty(len(i_idx), dtype=np.int32)
-    dls = np.empty(len(i_idx), dtype=np.int32)
-    sp = jnp.asarray(specs)
-    for s in range(0, len(i_idx), batch):
-        ii = np.asarray(i_idx[s:s + batch])
-        jj = np.asarray(j_idx[s:s + batch])
+    @jax.jit
+    def f(sp, ii, jj):
+        n1, n2 = sp.shape[-2], sp.shape[-1]
+        nf = ops.fft.next_fast_len(2 * n1 - 1)
+        nl = ops.fft.next_fast_len(2 * n2 - 1)
         a = _normed(sp[ii])
         b = _normed(sp[jj])
-        if sharding is not None and len(ii) % mesh.devices.size == 0:
-            import jax
-            a = jax.device_put(a, sharding)
-            b = jax.device_put(b, sharding)
+        if sharding is not None:
+            a = jax.lax.with_sharding_constraint(a, sharding)
+            b = jax.lax.with_sharding_constraint(b, sharding)
         A = jnp.fft.rfft2(a, s=(nf, nl))
         B = jnp.fft.rfft2(b, s=(nf, nl))
         r = jnp.fft.irfft2(A * jnp.conj(B), s=(nf, nl))
@@ -123,11 +121,50 @@ def correlate_spectrograms(specs, i_idx, j_idx, batch: int = 64,
         r = ops.cc.lag_slice_of_circular(r, n2, nl, 0, 2 * n2 - 1)
         flat = r.reshape(r.shape[0], -1)
         am = jnp.argmax(flat, axis=-1)
-        peaks[s:s + batch] = np.asarray(
-            jnp.take_along_axis(flat, am[:, None], axis=-1)[:, 0])
+        pk = jnp.take_along_axis(flat, am[:, None], axis=-1)[:, 0]
         w = 2 * n2 - 1
-        dfs[s:s + batch] = np.asarray(am // w) - (n1 - 1)
-        dls[s:s + batch] = np.asarray(am % w) - (n2 - 1)
+        return pk, am // w - (n1 - 1), am % w - (n2 - 1)
+
+    _corr_steps[key] = f
+    return f
+
+
+def correlate_spectrograms(specs, i_idx, j_idx, batch: int = 64,
+                           mesh=None):
+    """Batched normalized 2-D correlation peaks between spectrogram pairs.
+
+    specs: (T, F, L) stack; (i_idx, j_idx): cell index lists.
+    Returns (peak, df_shift, dl_shift) arrays of len(cells), where the
+    shifts are argmax offsets in bins relative to zero lag.
+    ``mesh``: optional device mesh — cell batches shard over its
+    ``batch`` axis (SURVEY.md §2.8 P2 on real devices).
+
+    Every launch runs the SAME fixed ``batch`` size (the tail batch pads
+    with repeated cell 0 and its results are discarded), so one compiled
+    executable serves the whole (stack geometry, batch) config.
+    """
+    if mesh is not None:
+        ndev = mesh.devices.size
+        batch = max(batch, ndev) // ndev * ndev  # device multiple
+
+    ncells = len(i_idx)
+    peaks = np.empty(ncells, dtype=np.float32)
+    dfs = np.empty(ncells, dtype=np.int32)
+    dls = np.empty(ncells, dtype=np.int32)
+    sp = jnp.asarray(specs)
+    fn = _corr_step(mesh)
+    ii_buf = np.zeros(batch, dtype=np.int32)
+    jj_buf = np.zeros(batch, dtype=np.int32)
+    for s in range(0, ncells, batch):
+        real = min(batch, ncells - s)
+        ii_buf[:real] = i_idx[s:s + real]
+        jj_buf[:real] = j_idx[s:s + real]
+        ii_buf[real:] = 0  # pad cells: valid indices, results dropped
+        jj_buf[real:] = 0
+        pk, df_, dl_ = fn(sp, jnp.asarray(ii_buf), jnp.asarray(jj_buf))
+        peaks[s:s + real] = np.asarray(pk)[:real]
+        dfs[s:s + real] = np.asarray(df_)[:real]
+        dls[s:s + real] = np.asarray(dl_)[:real]
     return peaks, dfs, dls
 
 
