@@ -463,28 +463,34 @@ def _error_artifact(msg: str):
 
 
 def _guard_device_init():
-    """Bound the first backend init when reaching the chip through the
-    axon tunnel: the tunnel intermittently degrades to where PJRT init
-    HANGS (not merely slows — measured two processes stuck >10 min at
-    ~5 s CPU). A hang inside the C init call is not interruptible by
-    SIGALRM, so probe init in a SUBPROCESS with a timeout; on timeout,
-    emit the JSON artifact with an error field instead of hanging the
-    driver. Unconditional (the axon plugin ignores JAX_PLATFORMS env,
-    so an env check cannot tell which backend will init; a healthy
-    probe costs one extra init, seconds); XCORR_BENCH_INIT_TIMEOUT=0
-    disables."""
+    """Bound the first backend init AND first execute when reaching the
+    chip through the axon tunnel: the tunnel intermittently degrades to
+    where PJRT init HANGS (not merely slows — measured two processes
+    stuck >10 min at ~5 s CPU), and separately to where init succeeds
+    in seconds but the first compile/execute RPC never returns
+    (measured: init 0.2-10 s, then a (128,128) matmul stuck >10 min).
+    Neither hang is interruptible by SIGALRM from inside the process,
+    so probe init + a tiny jit execute in a SUBPROCESS with a timeout;
+    on timeout, emit the JSON artifact with an error field instead of
+    hanging the driver. Unconditional (the axon plugin ignores
+    JAX_PLATFORMS env, so an env check cannot tell which backend will
+    init; a healthy probe costs one extra init + trivial compile,
+    seconds); XCORR_BENCH_INIT_TIMEOUT=0 disables."""
     timeout = float(os.environ.get("XCORR_BENCH_INIT_TIMEOUT", "900"))
     if timeout <= 0:
         return
     import subprocess
+    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+             "x = jnp.ones((128, 128), jnp.float32); "
+             "(x @ x).block_until_ready()")
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe],
             timeout=timeout, capture_output=True)
     except subprocess.TimeoutExpired:
         _error_artifact(
-            f"device init did not complete within {timeout:.0f}s "
-            "(tunnel outage); no measurement possible")
+            f"device init+execute probe did not complete within "
+            f"{timeout:.0f}s (tunnel outage); no measurement possible")
         sys.exit(0)
 
 
