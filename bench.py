@@ -7,12 +7,33 @@ The canonical production workload (BASELINE.md): 24 h @ 50 Hz windows
 cross-correlation. One "unit" = one pair-day = one batch of 8 windows
 through the fused four-step Pallas correlation kernel.
 
-vs_baseline compares against the reference's compute path measured in this
-same process: numpy fft (the reference's backend when pyFFTW is absent,
-xcorr/util/cc.py:12-15) running one window on one host core, scaled to a
-pair-day.
+vs_baseline compares against the reference's compute path: numpy fft
+(the reference's backend when pyFFTW is absent, xcorr/util/cc.py:12-15)
+running one window on one host core, scaled to a pair-day. The
+reference constant is measured once and cached in
+``benchmarks/ref_cpu.json`` (it is a property of this host, not of the
+framework under test), re-measured only when the cache is absent.
 
-Prints ONE JSON line with the headline metric plus detail fields:
+Architecture (round 4): the benchmark is an ORCHESTRATOR. Every
+section that touches the device runs in a budgeted SUBPROCESS; the
+parent is pure Python (no device RPCs), so it can always respond to
+signals and deadlines. Results merge into one artifact dict that is
+
+* written to ``benchmarks/bench_partial.json`` after EVERY completed
+  section, and
+* printed as the single stdout JSON line at exit — on normal
+  completion, on the overall deadline (``XCORR_BENCH_DEADLINE``,
+  default 2400 s), on SIGTERM/SIGINT (the driver's ``timeout`` sends
+  SIGTERM), or from the atexit hook.
+
+A tunnel stall therefore costs only the section it hit: everything
+measured before it still lands in the artifact (round 3 lost the
+entire run to one stall — BENCH_r03.json rc=124, parsed null).
+Children stream ``@@BENCH@@ {json}`` marker lines so that even a
+section killed MID-measurement contributes its partial numbers
+(subprocess timeout delivers the captured partial stdout).
+
+Artifact fields:
   ms_per_batch {min, median, runs}  tunnel timing variance is large
                                     (38-60 ms same binary measured), so
                                     min AND median are recorded
@@ -21,28 +42,44 @@ Prints ONE JSON line with the headline metric plus detail fields:
                     chip (417 GB/s, pure-copy Pallas kernel through the
                     axon tunnel)
   roofline_pct_peak same, against the v5e-1 nominal HBM peak (819 GB/s)
-  b_sweep           ms/window at each batch size (with --sweep)
   e2e               lazy_process(engine='device') pair-days/s INCLUDING
                     all IO (synthetic archive -> device chains -> zlib
-                    netCDF shard), plus a v5e-8 projection against the
-                    <60 s/pair-year north star (with --e2e; driver runs
-                    carry the kernel metric either way)
+                    netCDF shard), a v5e-8 projection against the
+                    <60 s/pair-year north star, the measured
+                    writer-drain tail, the measured end-to-end CCF
+                    quantization error (wire codec + storage), and the
+                    8-device-mesh host cost per pair-day
+  sections          per-section status (ok / timeout / error / skipped)
+                    with wall seconds — the run's own flight recorder
 """
 import json
 import os
+import signal
+import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
 
-# persistent compilation cache: repeated bench runs skip the multi-minute
-# AOT compile of the day-scale kernels (the env var alone is not always
-# honored; set the config flags explicitly at import)
+# persistent compilation cache: repeated bench runs (and the budgeted
+# section subprocesses) skip the multi-minute AOT compile of the
+# day-scale kernels
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 HBM_STREAM_GBPS = 417.0   # measured pure-copy ceiling, v5e-1 via tunnel
 HBM_PEAK_GBPS = 819.0     # v5e-1 nominal
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_REF_CACHE = os.path.join(_REPO, "benchmarks", "ref_cpu.json")
+_PARTIAL = os.path.join(_REPO, "benchmarks", "bench_partial.json")
+_MARK = "@@BENCH@@ "
+
+
+def _mark(d: dict):
+    """Child-side: stream a partial-result marker the orchestrator
+    merges even if this section is killed before finishing."""
+    print(_MARK + json.dumps(d), flush=True)
 
 
 def _enable_compile_cache():
@@ -50,23 +87,32 @@ def _enable_compile_cache():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        # pallas custom_calls embed caller file:line locations the
+        # strip-debuginfo pass cannot remove; short locations keep the
+        # cache key invariant to source-line shifts (util.sysmem)
+        jax.config.update("jax_include_full_tracebacks_in_locations",
+                          False)
     except Exception:
         pass
 
 
-_enable_compile_cache()
+def _heap_reuse():
+    # keep day-scale numpy buffers on the reusable heap — fresh
+    # mmap-backed buffers fault in at ~16 MB/s on this microVM host
+    try:
+        from xcorr_tpu.util.sysmem import malloc_heap_reuse
+        malloc_heap_reuse()
+    except Exception:
+        pass
 
-# keep day-scale numpy buffers on the reusable heap — fresh mmap-backed
-# buffers fault in at ~16 MB/s on this microVM host (see util.sysmem)
-try:
-    from xcorr_tpu.util.sysmem import malloc_heap_reuse
-    malloc_heap_reuse()
-except Exception:
-    pass
 
+# ---------------------------------------------------------------------
+# measurement sections (each runs in a budgeted child via --section)
+# ---------------------------------------------------------------------
 
-def measure_device(n, B, imin, imax, iters=10, repeats=5):
+def measure_device(n, B, imin, imax, iters=10, repeats=5, mark=False):
     """Steady-state seconds per batch on the active JAX backend.
 
     The iterations run inside ONE jitted lax.fori_loop with a data
@@ -118,11 +164,17 @@ def measure_device(n, B, imin, imax, iters=10, repeats=5):
         return acc
 
     np.asarray(loop(x, y))  # compile + warmup
+    if mark:
+        _mark({"kernel_compiled": True})
     times = []
     for _ in range(repeats):
         t0 = time.time()
         np.asarray(loop(x, y))
         times.append((time.time() - t0) / iters)
+        if mark:
+            # stream every repeat: a mid-measurement kill still leaves
+            # the repeats so far in the artifact
+            _mark({"kernel_times_s": times})
     return times
 
 
@@ -161,25 +213,17 @@ def _host_cpu(stages):
     return total
 
 
-def measure_e2e(small):
-    """lazy_process(engine='device') pair-days/s including ALL IO,
-    MEASURED over a multi-day campaign with the production overlap
-    machinery engaged (multi-day batched launches + writer-thread
-    readback/write overlap), not extrapolated from one day.
-
-    Synthetic SDS-free archive -> availability scan -> device window
-    pipeline -> zlib netCDF shard write, the production flow of
-    scripts/cc.py (reference workload spec xcorr/scripts/cc.py:136-165).
-    """
+def _e2e_setup(small, root, months=("2014-02-01", "2014-03-01"),
+               ndays=None):
+    """Shared campaign config + pre-populated synthetic SDS archive."""
     import pandas as pd
-    from xcorr_tpu import lazy_process
     from xcorr_tpu.stream import Channel, Inventory, SyntheticClient
-    from xcorr_tpu.util.profiler import StageTimer
 
     fs = 5.0 if small else 50.0
     window = 3600.0 if small else 86400.0
     overlap = 0.5 if small else 21.0 / 24.0
-    ndays = 2 if small else 12
+    if ndays is None:
+        ndays = 2 if small else 12
     days_per_launch = 2 if small else 8
     pairs = ["IM.H03S1..EDH-IM.H03S2..EDH"]
     client_kw = dict(
@@ -187,8 +231,10 @@ def measure_e2e(small):
         delays={"IM.H03S1..EDH": 0.0, "IM.H03S2..EDH": 4.0},
         source_period=600.0, source_amplitude=20.0)
     inv = Inventory([
-        Channel("IM", "H03S1", "", "EDH", latitude=-33.6, longitude=-78.8),
-        Channel("IM", "H03S2", "", "EDH", latitude=-33.7, longitude=-78.9),
+        Channel("IM", "H03S1", "", "EDH", latitude=-33.6,
+                longitude=-78.8),
+        Channel("IM", "H03S2", "", "EDH", latitude=-33.7,
+                longitude=-78.9),
     ])
     init_args = dict(
         preprocess={"EDH": [
@@ -198,70 +244,122 @@ def measure_e2e(small):
             ("taper", {"type": "cosine", "max_percentage": 0.05,
                        "max_length": 30.0}),
         ]},
-        attrs={"institution": "bench", "author": "bench", "source": "syn"},
+        attrs={"institution": "bench", "author": "bench",
+               "source": "syn"},
         sampling_rate=fs, window_length=window, window_overlap=overlap,
         clip_lag=(0.0, window * 0.375), inventory=inv,
         unbiased_cc=False,
     )
-    # the axon tunnel's d2h rate swings day-to-day AND the FIRST large
-    # readback of a process is pathological (measured 0.8 MB/s cold vs
-    # ~137 MB/s warm on the same day); at 52 MB of CCF per pair-day the
-    # readback stage is hostage to it. Probe both directions twice and
-    # record the warm rate (the steady-state campaign only ever sees
-    # warm transfers), keeping the cold one for context.
-    import jax
-    import jax.numpy as jnp
-    from xcorr_tpu.util.xfer import (device_fetch,
-                                     live_backend_tunneled,
-                                     wire_pack_enabled)
-    mk = jax.jit(lambda k: jax.random.normal(k, (8, 1_620_000),
-                                             jnp.float32))
-    rates = []
-    for i in range(2):
-        # a FRESH device buffer each round: re-reading one buffer hits
-        # the runtime's host-side copy cache and reports memcpy rates
-        probe = mk(jax.random.PRNGKey(i))
-        probe.block_until_ready()
-        t0 = time.time()
-        # the engine's readback path (row-chunked + async above 64 MB;
-        # plain asarray here at 52 MB)
-        host = device_fetch(probe)
-        d2h = probe.nbytes / 1e6 / (time.time() - t0)
-        t0 = time.time()
-        dev = jax.device_put(host)
-        dev.block_until_ready()
-        h2d = host.nbytes / 1e6 / (time.time() - t0)
-        rates.append((d2h, h2d))
-    (d2h_cold, _), (d2h_MBps, h2d_MBps) = rates
-    del probe, host, dev
+    # production flow reads day files from an SDS archive (the
+    # reference workload runs on the author's archived data): the
+    # synthetic client archives what it "downloads" and all campaign
+    # fetches/availability scans take the real codec + header-scan
+    # read path. Pre-populate the measured months as setup — archive
+    # building is acquisition, not campaign wall. Boundary days too:
+    # centered 47h task spans reach one day past each campaign end.
+    client = SyntheticClient(sds_root=os.path.join(root, "sds"),
+                             **client_kw)
+    for month in months:
+        first = pd.Timestamp(month) - pd.Timedelta(days=1)
+        for t in pd.date_range(first, periods=ndays + 2, freq="1D"):
+            for r in ("IM.H03S1..EDH", "IM.H03S2..EDH"):
+                client._get_waveforms_for_date(r, t)
+    return dict(fs=fs, window=window, overlap=overlap, ndays=ndays,
+                days_per_launch=days_per_launch, pairs=pairs, inv=inv,
+                init_args=init_args, client=client)
+
+
+def _shard_cc(root, pair, day):
+    """Read one shard's decoded cc values + status (host-side)."""
+    import pandas as pd
+    from xcorr_tpu.io.filesystem import ncfile
+    from xcorr_tpu.io.read import read
+    ds = read(ncfile(pair, pd.Timestamp(day), root), fast=True, verb=0)
+    return ds["cc"].values, ds["status"].values
+
+
+def _quantization_err(root_test, root_ref, pair, day):
+    """Max end-to-end CCF error of a campaign shard vs the unpacked
+    f32 reference shard for one pair-day (covers the int16 wire codec
+    and, for pack_cc shards, the CF int16 storage packing)."""
+    cc_t, st_t = _shard_cc(root_test, pair, day)
+    cc_r, st_r = _shard_cc(root_ref, pair, day)
+    ok = (st_t == 1) & (st_r == 1)
+    if not ok.any():
+        return None
+    a, b = cc_t[ok], cc_r[ok]
+    max_abs = float(np.nanmax(np.abs(a - b)))
+    denom = float(np.nanmax(np.abs(b)))
+    return {"max_abs": round(max_abs, 9),
+            "max_rel_vs_peak": round(max_abs / denom, 9) if denom
+            else None}
+
+
+def measure_e2e(small):
+    """lazy_process(engine='device') pair-days/s including ALL IO,
+    MEASURED over a multi-day campaign with the production overlap
+    machinery engaged (multi-day batched launches + writer-thread
+    readback/write overlap), not extrapolated from one day.
+
+    Synthetic SDS-free archive -> availability scan -> device window
+    pipeline -> zlib netCDF shard write, the production flow of
+    scripts/cc.py (reference workload spec xcorr/scripts/cc.py:136-165).
+
+    Streams partial results via :func:`_mark` after every campaign so a
+    mid-section kill still leaves the numbers measured so far.
+    """
+    import pandas as pd
+    from xcorr_tpu import lazy_process
+    from xcorr_tpu.util.profiler import StageTimer
 
     with tempfile.TemporaryDirectory() as root:
-        # warmup: compile (or persistent-cache load) the pipelines for
-        # the SAME chunk pattern as the measured campaign (ndays may
-        # leave a tail chunk whose union-span length needs its own
-        # executable — warming only one full chunk left the tail
-        # compiling inside the measured run), plus availability scan +
-        # preprocess preflight
-        # production flow reads day files from an SDS archive (the
-        # reference workload runs on the author's archived data): the
-        # synthetic client archives what it "downloads" and all
-        # campaign fetches/availability scans take the real codec +
-        # header-scan read path. Pre-populate the measured months as
-        # setup — archive building is acquisition, not campaign wall.
-        client = SyntheticClient(sds_root=os.path.join(root, "sds"),
-                                 **client_kw)
-        # centered 47h task spans reach one day PAST each campaign end
-        # (engine spans run times[0]-12h-buffer .. times[-1]+12h+buffer)
-        # — pre-populate the boundary days too, or the first/last chunks
-        # pay waterfall synthesis + archive writes inside the measured
-        # wall (and a re-run campaign like fast_storage would get a
-        # systematically lighter archive than rep 0 did)
-        for month in ("2014-02-01", "2014-03-01"):
-            first = pd.Timestamp(month) - pd.Timedelta(days=1)
-            for t in pd.date_range(first, periods=ndays + 2, freq="1D"):
-                for r in ("IM.H03S1..EDH", "IM.H03S2..EDH"):
-                    client._get_waveforms_for_date(r, t)
+        cfg = _e2e_setup(small, root)
+        fs, window, overlap = cfg["fs"], cfg["window"], cfg["overlap"]
+        ndays, days_per_launch = cfg["ndays"], cfg["days_per_launch"]
+        pairs, inv = cfg["pairs"], cfg["inv"]
+        init_args, client = cfg["init_args"], cfg["client"]
 
+        # the axon tunnel's d2h rate swings day-to-day AND the FIRST
+        # large readback of a process is pathological (measured
+        # 0.8 MB/s cold vs ~137 MB/s warm on the same day); at 52 MB of
+        # CCF per pair-day the readback stage is hostage to it. Probe
+        # both directions twice and record the warm rate (the
+        # steady-state campaign only ever sees warm transfers), keeping
+        # the cold one for context.
+        import jax
+        import jax.numpy as jnp
+        from xcorr_tpu.util.xfer import (device_fetch,
+                                         live_backend_tunneled,
+                                         wire_pack_enabled)
+        mk = jax.jit(lambda k: jax.random.normal(k, (8, 1_620_000),
+                                                 jnp.float32))
+        rates = []
+        for i in range(2):
+            # a FRESH device buffer each round: re-reading one buffer
+            # hits the runtime's host-side copy cache (memcpy rates)
+            probe = mk(jax.random.PRNGKey(i))
+            probe.block_until_ready()
+            t0 = time.time()
+            host = device_fetch(probe)
+            d2h = probe.nbytes / 1e6 / (time.time() - t0)
+            t0 = time.time()
+            dev = jax.device_put(host)
+            dev.block_until_ready()
+            h2d = host.nbytes / 1e6 / (time.time() - t0)
+            rates.append((d2h, h2d))
+        (d2h_cold, _), (d2h_MBps, h2d_MBps) = rates
+        del probe, host, dev
+        out = {"tunnel_d2h_MBps": round(d2h_MBps, 1),
+               "tunnel_d2h_MBps_cold": round(d2h_cold, 1),
+               "tunnel_h2d_MBps": round(h2d_MBps, 1)}
+        _mark({"e2e": dict(out)})
+
+        # warmup: compile (or persistent-cache load) the pipelines for
+        # the SAME chunk pattern as the measured campaign (with the
+        # canonical tail-chunk padding every chunk now shares one
+        # executable set, but the warm run still pays/loads it here,
+        # outside the measured walls), plus availability scan +
+        # preprocess preflight
         warm_days = pd.date_range("2014-01-01", periods=ndays,
                                   freq="1D")
         t0 = time.time()
@@ -269,6 +367,8 @@ def measure_e2e(small):
                      root=os.path.join(root, "warm"), engine="device",
                      days_per_launch=days_per_launch, verb=0)
         dt_first = time.time() - t0
+        out["first_run_s"] = round(dt_first, 2)  # scans + compile/cache
+        _mark({"e2e": dict(out)})
 
         # measured steady state: fresh multi-day campaigns with warm
         # executables — fetch/dispatch of chunk N+1 overlaps readback +
@@ -284,7 +384,8 @@ def measure_e2e(small):
             results = lazy_process(
                 pairs, times, init_args, client, inventory=inv,
                 root=os.path.join(root, f"run{rep}"), engine="device",
-                days_per_launch=days_per_launch, verb=0, timer=rep_timer)
+                days_per_launch=days_per_launch, verb=0,
+                timer=rep_timer)
             rep_wall = time.time() - t0
             assert all(results), "e2e campaign did not complete"
             walls.append(round(rep_wall, 2))
@@ -298,6 +399,7 @@ def measure_e2e(small):
                 last_rb = rep_timer.last_end("device-readback")
                 tail = max(0.0, time.perf_counter() - last_rb) \
                     if last_rb else 0.0
+            _mark({"e2e": {"campaign_walls_s": walls}})
         pair_day = window / 86400.0
         sec = wall / (ndays * pair_day)
         stages = timer.as_dict()
@@ -331,12 +433,11 @@ def measure_e2e(small):
         proj_v5e8 = sec * 366 / 8
         if tunneled:
             proj_v5e8 = max(proj_v5e8, wire_floor_pd * 366)
-        out = {
+        out.update({
             "pair_days_per_s": round(1.0 / sec, 4),
             "seconds_per_pair_day": round(sec, 2),
             "measured_days": ndays,
             "days_per_launch": days_per_launch,
-            "first_run_s": round(dt_first, 2),  # scans + compile/cache
             "campaign_walls_s": walls,  # all repeats (best reported)
             # (pair, day) grid is embarrassingly parallel (P1 batch
             # sharding) BUT on this harness all 8 chips would share ONE
@@ -345,9 +446,6 @@ def measure_e2e(small):
             # hardware — see projected_pair_year_s_v5e8_pcie_host)
             "projected_pair_year_s_v5e8": round(proj_v5e8, 1),
             "wire_floor_s_per_pair_day": round(wire_floor_pd, 2),
-            "tunnel_d2h_MBps": round(d2h_MBps, 1),
-            "tunnel_d2h_MBps_cold": round(d2h_cold, 1),
-            "tunnel_h2d_MBps": round(h2d_MBps, 1),
             # int16 block-float readback codec state (tunnel-only;
             # docs/PARITY.md "Tunneled-link wire codec"): quantization
             # <=1.6e-5 absolute on normalized CCFs, f32 elsewhere
@@ -361,7 +459,7 @@ def measure_e2e(small):
                                           v.get("process_cpu_s", 0.0)}
                                   for k, v in stages.items()},
             "writer_drain_tail_s": round(tail, 2),
-        }
+        })
         if not small and readback:
             # this harness reaches the chip through a ~40 MB/s tunnel
             # AND runs every host stage on ONE core — a real TPU host
@@ -390,6 +488,42 @@ def measure_e2e(small):
                 host_cpu / (ndays * pair_day), 3)
             out["projected_pair_year_s_v5e8_pcie_host"] = round(
                 sec_pcie * 366 / 8 + tail, 1)
+        _mark({"e2e": dict(out)})
+
+        # ------- measured CCF fidelity (wire codec + storage path) ---
+        # one extra 1-day campaign with the wire codec OFF gives the
+        # unpacked f32 ground truth for the first measured pair-day;
+        # the decoded run0 shard vs it measures the error the e2e
+        # products ACTUALLY carry (VERDICT r3 ask #5; bars: BASELINE.md
+        # 1e-6 rtol on the compute path, docs/PARITY.md 1.6e-5 wire
+        # codec bound)
+        try:
+            day0 = "2014-02-01"
+            envpack = os.environ.get("XCORR_WIRE_PACK")
+            os.environ["XCORR_WIRE_PACK"] = "0"
+            try:
+                lazy_process(pairs, pd.date_range(day0, periods=1,
+                                                  freq="1D"),
+                             init_args, client, inventory=inv,
+                             root=os.path.join(root, "truth"),
+                             engine="device",
+                             days_per_launch=days_per_launch, verb=0)
+            finally:
+                if envpack is None:
+                    os.environ.pop("XCORR_WIRE_PACK", None)
+                else:
+                    os.environ["XCORR_WIRE_PACK"] = envpack
+            err = _quantization_err(os.path.join(root, "run0"),
+                                    os.path.join(root, "truth"),
+                                    pairs[0], day0)
+            if err is not None:
+                err["covers"] = ("wire codec (i16 block-float d2h+h2d)"
+                                 if out["wire_pack"] == "i16"
+                                 else "f32 path (codec off)")
+            out["max_quantization_err"] = err
+            _mark({"e2e": {"max_quantization_err": err}})
+        except Exception as error:
+            out["max_quantization_err"] = {"error": str(error)}
 
         if not small:
           # fail-soft: the main campaign numbers above must survive a
@@ -401,7 +535,8 @@ def measure_e2e(small):
             # max|cc|/32765/2 (~1.5e-5 normalized). Same device
             # executables (storage is host-side), one measured campaign.
             fast_args = dict(init_args, pack_cc=True, complevel=0)
-            times = pd.date_range("2014-02-01", periods=ndays, freq="1D")
+            times = pd.date_range("2014-02-01", periods=ndays,
+                                  freq="1D")
             fast_timer = StageTimer()
             t0 = time.time()
             results = lazy_process(
@@ -429,6 +564,12 @@ def measure_e2e(small):
                     "writer_drain_tail_s": round(fast_tail, 2),
                     "projected_pair_year_s_v5e8_pcie_host": round(
                         fpcie * 366 / 8 + fast_tail, 1),
+                    # storage packing ADDS CF int16 quantization on top
+                    # of the wire codec: same ground-truth shard
+                    "max_quantization_err": _quantization_err(
+                        os.path.join(root, "fast"),
+                        os.path.join(root, "truth"), pairs[0],
+                        "2014-02-01"),
                 }
             else:
                 # distinguish "config failed" from "never ran" in the
@@ -443,74 +584,65 @@ def measure_e2e(small):
         return out
 
 
-def _error_artifact(msg: str):
-    """The headline-JSON shape with an error field, still carrying the
-    recorded per-config results (annotated with their own measurement
-    conditions) so an outage run leaves the judge/driver numbers."""
-    out = {
-        "metric": "CCF pair-days/sec/chip at 50 Hz",
-        "value": None, "unit": "pair-days/s", "vs_baseline": None,
-        "error": msg,
-    }
-    cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "benchmarks", "results_latest.json")
-    try:
-        with open(cfg) as f:
-            out["configs_recorded"] = json.load(f)
-    except Exception:
-        pass
-    print(json.dumps(out))
-
-
-def _guard_device_init():
-    """Bound the first backend init AND first execute when reaching the
-    chip through the axon tunnel: the tunnel intermittently degrades to
-    where PJRT init HANGS (not merely slows — measured two processes
-    stuck >10 min at ~5 s CPU), and separately to where init succeeds
-    in seconds but the first compile/execute RPC never returns
-    (measured: init 0.2-10 s, then a (128,128) matmul stuck >10 min).
-    Neither hang is interruptible by SIGALRM from inside the process,
-    so probe init + a tiny jit execute in a SUBPROCESS with a timeout;
-    on timeout, emit the JSON artifact with an error field instead of
-    hanging the driver. Unconditional (the axon plugin ignores
-    JAX_PLATFORMS env, so an env check cannot tell which backend will
-    init; a healthy probe costs one extra init + trivial compile,
-    seconds); XCORR_BENCH_INIT_TIMEOUT=0 disables."""
-    timeout = float(os.environ.get("XCORR_BENCH_INIT_TIMEOUT", "900"))
-    if timeout <= 0:
-        return
-    import subprocess
-    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
-             "x = jnp.ones((128, 128), jnp.float32); "
-             "(x @ x).block_until_ready()")
-    try:
-        subprocess.run(
-            [sys.executable, "-c", probe],
-            timeout=timeout, capture_output=True)
-    except subprocess.TimeoutExpired:
-        _error_artifact(
-            f"device init+execute probe did not complete within "
-            f"{timeout:.0f}s (tunnel outage); no measurement possible")
-        sys.exit(0)
-
-
-def main():
-    small = "--small" in sys.argv or os.environ.get(
-        "XCORR_BENCH_SMALL") == "1"
-    _guard_device_init()
+def measure_mesh8(ndays=4):
+    """Host cost per pair-day when ONE host feeds an 8-device mesh
+    (VERDICT r3 ask #4): the bench e2e campaign on the virtual 8-CPU
+    mesh (xla_force_host_platform_device_count=8), production shapes.
+    Device compute runs on (slow) CPU shards and is excluded — the
+    measurement is the HOST side: fetch + prepare + init + bookkeeping
+    thread-CPU seconds per pair-day while assembling mesh-sharded
+    launches. Runs as its own --section child on the cpu platform, so
+    it lands even when the tunnel is down."""
     import jax
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError as error:  # backend init gave up (UNAVAILABLE)
-        _error_artifact(f"backend init failed: {error}")
-        return
-    if platform == "cpu" and "--full" not in sys.argv:
-        small = True
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    _enable_compile_cache()
+    import pandas as pd
+    from xcorr_tpu import lazy_process
+    from xcorr_tpu.parallel import make_mesh
+    from xcorr_tpu.util.profiler import StageTimer
 
+    assert len(jax.devices()) >= 8, "need 8 virtual CPU devices"
+    mesh = make_mesh(8)
+    with tempfile.TemporaryDirectory() as root:
+        cfg = _e2e_setup(False, root, months=("2014-02-01",),
+                         ndays=ndays)
+        _mark({"e2e": {"mesh8": {"status": "archive ready"}}})
+        times = pd.date_range("2014-02-01", periods=ndays, freq="1D")
+        # one warm run would double the (CPU-compute-heavy) cost; the
+        # host stages we report are warm after the first chunk anyway,
+        # and CPU-compile time is excluded via cpu_s stage accounting
+        timer = StageTimer()
+        t0 = time.time()
+        results = lazy_process(
+            cfg["pairs"], times, cfg["init_args"], cfg["client"],
+            inventory=cfg["inv"], root=os.path.join(root, "m8"),
+            engine="device", days_per_launch=cfg["days_per_launch"],
+            verb=0, timer=timer, mesh=mesh)
+        wall = time.time() - t0
+        stages = timer.as_dict()
+        host = _host_cpu(stages)
+        ok = sum(bool(r) for r in results)
+        out = {"mesh8_host_s_per_pair_day": round(host / ndays, 3),
+               "mesh8": {
+                   "ndays": ndays, "wall_s": round(wall, 1),
+                   "completed": f"{ok}/{len(results)}",
+                   "platform": "cpu x8 (virtual mesh)",
+                   "host_stage_cpu_s": {
+                       k: round(v.get("cpu_s", 0.0), 2)
+                       for k, v in stages.items()}}}
+        return out
+
+
+# ---------------------------------------------------------------------
+# section children (--section <name>)
+# ---------------------------------------------------------------------
+
+def _geometry(small):
     if small:
         n, B = 432_000, 8           # 2.4 h @ 50 Hz per window
         imin, imax = n - 1, n - 1 + 162_000
-        days_per_batch = n / 4_320_000  # fraction of a pair-day per batch
+        days_per_batch = n / 4_320_000  # pair-day fraction per batch
     else:
         # 24 h @ 50 Hz; 80 windows = 10 pair-days. B sweep on v5e-1
         # (round-2 kernel, ms/window): 8 -> 1.54, 16 -> 1.31,
@@ -519,71 +651,377 @@ def main():
         n, B = 4_320_000, 80
         imin, imax = n - 1, n - 1 + 1_620_000
         days_per_batch = 10.0
+    return n, B, imin, imax, days_per_batch
 
-    times = measure_device(n, B, imin, imax,
-                           iters=10 if not small else 5)
-    best = min(times)
-    med = float(np.median(times))
-    pair_days_per_sec = days_per_batch / best
 
-    t_ref = measure_reference(n, imin, imax)
-    # reference throughput: one window costs t_ref on one core; a
-    # pair-day is 8 windows
-    ref_pair_days_per_sec = (n / 4_320_000) / (t_ref * 8)
+def _section_probe():
+    import jax
+    devs = jax.devices()
+    import jax.numpy as jnp
+    x = jnp.ones((128, 128), jnp.float32)
+    (x @ x).block_until_ready()
+    version = ""
+    try:
+        version = str(devs[0].client.platform_version)
+    except Exception:
+        pass
+    _mark({"platform": devs[0].platform,
+           "platform_version": version})
 
-    out = {
-        "metric": "CCF pair-days/sec/chip at 50 Hz"
-                  + (" (small config)" if small else ""),
-        "value": round(pair_days_per_sec, 3),
-        "unit": "pair-days/s",
-        "vs_baseline": round(pair_days_per_sec / ref_pair_days_per_sec, 1),
-        "ms_per_batch": {"min": round(best * 1e3, 2),
-                         "median": round(med * 1e3, 2),
-                         "runs": [round(t * 1e3, 2) for t in times]},
-        "batch_windows": B,
-    }
 
+def _section_kernel(small):
+    _enable_compile_cache()
+    n, B, imin, imax, days_per_batch = _geometry(small)
     if not small:
-        # effective HBM bandwidth of the measured batch vs the measured
-        # streaming ceiling and the nominal v5e-1 peak (the traffic
-        # model describes the pruned four-step kernel, i.e. the
-        # accelerator day-scale dispatch — meaningless in small mode)
+        # stream the traffic model BEFORE measuring, so a repeat list
+        # from a mid-measurement kill can still derive the roofline
         from xcorr_tpu.ops.fft4 import traffic_model
-        nbytes = traffic_model(n, imin, imax, batch=B)
-        eff = nbytes / best
-        out["roofline_pct"] = round(
-            eff / (HBM_STREAM_GBPS * 1e9) * 100, 1)
-        out["roofline_pct_peak"] = round(
-            eff / (HBM_PEAK_GBPS * 1e9) * 100, 1)
-        out["effective_GBps"] = round(eff / 1e9, 1)
+        _mark({"traffic_bytes": traffic_model(n, imin, imax, batch=B),
+               "batch_windows": B})
+    else:
+        _mark({"batch_windows": B})
+    times = measure_device(n, B, imin, imax,
+                           iters=10 if not small else 5, mark=True)
+    _mark({"kernel_times_s": times})
 
-    if "--sweep" in sys.argv:
-        sweep = {}
-        for b in (8, 16, 32, 64):
-            ts = measure_device(n, b, imin, imax,
-                                iters=5, repeats=3)
-            sweep[str(b)] = round(min(ts) * 1e3 / b, 3)
-        out["b_sweep_ms_per_window"] = sweep
 
-    if "--e2e" in sys.argv or (not small and "--no-e2e" not in sys.argv):
+def _section_sweep(small):
+    _enable_compile_cache()
+    n, _, imin, imax, _ = _geometry(small)
+    sweep = {}
+    for b in (8, 16, 32, 64):
+        ts = measure_device(n, b, imin, imax, iters=5, repeats=3)
+        sweep[str(b)] = round(min(ts) * 1e3 / b, 3)
+        _mark({"b_sweep_ms_per_window": dict(sweep)})
+
+
+def _section_reference(small):
+    n, _, imin, imax, _ = _geometry(small)
+    t_ref = measure_reference(n, imin, imax)
+    _mark({"t_ref_s": t_ref, "ref_n": n})
+    if not small:
         try:
-            out["e2e"] = measure_e2e(small)
-        except Exception as error:  # never lose the kernel metric
-            out["e2e"] = {"error": str(error)}
-
-    # per-config results recorded by `benchmarks/run_configs.py --save`
-    # (BASELINE.md's five workloads), inlined so the driver artifact
-    # carries them
-    cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "benchmarks", "results_latest.json")
-    if os.path.exists(cfg):
-        try:
-            with open(cfg) as f:
-                out["configs_recorded"] = json.load(f)
+            os.makedirs(os.path.dirname(_REF_CACHE), exist_ok=True)
+            with open(_REF_CACHE, "w") as f:
+                json.dump({"t_ref_s": t_ref, "n": n,
+                           "note": "reference numpy-fft window cost, "
+                                   "one host core (xcorr/util/cc.py "
+                                   "formula); measured once per host"},
+                          f)
         except Exception:
             pass
 
-    print(json.dumps(out))
+
+def _section_e2e(small):
+    _enable_compile_cache()
+    _mark({"e2e": measure_e2e(small)})
+
+
+def _section_mesh8(small):
+    # 2 days: the campaign's device compute runs on (slow) CPU shards,
+    # so keep the measured grid small — the HOST cost per pair-day it
+    # reports is per-unit and stable from 2 days on (first-chunk
+    # compile CPU is excluded via cpu_s stage accounting)
+    _mark({"e2e": measure_mesh8(ndays=2)})
+
+
+# ---------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------
+
+class _Orchestrator:
+    """Pure-Python parent: budgeted subprocess sections, incremental
+    artifact, guaranteed single-JSON-line emission on ANY exit path."""
+
+    def __init__(self, deadline_s, argv):
+        self.t0 = time.time()
+        self.deadline = deadline_s
+        self.argv = argv
+        self.child = None
+        self.emitted = False
+        self.sections = {}
+        self.artifact = {
+            "metric": "CCF pair-days/sec/chip at 50 Hz",
+            "value": None, "unit": "pair-days/s", "vs_baseline": None,
+        }
+
+    def remaining(self):
+        return self.deadline - (time.time() - self.t0)
+
+    # -- artifact assembly ------------------------------------------
+
+    def merge(self, d: dict):
+        for k, v in d.items():
+            if (k in self.artifact and isinstance(v, dict)
+                    and isinstance(self.artifact[k], dict)):
+                self.artifact[k].update(v)
+            else:
+                self.artifact[k] = v
+        self.derive()
+        self.write_partial()
+
+    def derive(self):
+        """Headline numbers from the raw section fields."""
+        a = self.artifact
+        small = a.get("small_mode", False)
+        n, B, imin, imax, days_per_batch = _geometry(small)
+        times = a.pop("kernel_times_s", None)
+        if times:
+            best, med = min(times), float(np.median(times))
+            a["value"] = round(days_per_batch / best, 3)
+            a["ms_per_batch"] = {
+                "min": round(best * 1e3, 2),
+                "median": round(med * 1e3, 2),
+                "runs": [round(t * 1e3, 2) for t in times]}
+            nbytes = a.get("traffic_bytes")
+            if nbytes:
+                eff = nbytes / best
+                a["roofline_pct"] = round(
+                    eff / (HBM_STREAM_GBPS * 1e9) * 100, 1)
+                a["roofline_pct_peak"] = round(
+                    eff / (HBM_PEAK_GBPS * 1e9) * 100, 1)
+                a["effective_GBps"] = round(eff / 1e9, 1)
+        t_ref = a.get("t_ref_s")
+        if t_ref and a.get("value"):
+            # one window costs t_ref on one core; a pair-day is 8
+            ref_pd = (n / 4_320_000) / (t_ref * 8)
+            a["vs_baseline"] = round(a["value"] / ref_pd, 1)
+        # the mesh8 host measurement clamps the PCIe-host projection:
+        # one host feeding 8 chips spends mesh8_host s of CPU per
+        # pair-day; with >=8 worker cores (any real TPU host) that
+        # parallelizes 8-way (VERDICT r3 ask #4 — measured input
+        # replaces the assumption)
+        e2e = a.get("e2e")
+        if isinstance(e2e, dict):
+            m8 = e2e.get("mesh8_host_s_per_pair_day")
+            proj = e2e.get("projected_pair_year_s_v5e8_pcie_host")
+            if m8 and proj:
+                tail = e2e.get("writer_drain_tail_s", 0.0)
+                e2e["projected_pair_year_s_v5e8_pcie_host"] = round(
+                    max(proj, m8 * 366 / 8 + tail), 1)
+
+    def write_partial(self):
+        try:
+            os.makedirs(os.path.dirname(_PARTIAL), exist_ok=True)
+            with open(_PARTIAL, "w") as f:
+                json.dump(self.artifact, f, indent=1)
+        except Exception:
+            pass
+
+    def emit(self):
+        if self.emitted:
+            return
+        self.emitted = True
+        self.artifact["sections"] = self.sections
+        self.artifact["elapsed_s"] = round(time.time() - self.t0, 1)
+        self.write_partial()
+        print(json.dumps(self.artifact), flush=True)
+
+    # -- signals ----------------------------------------------------
+
+    def install_handlers(self):
+        def bail(signum, frame):
+            if self.child is not None:
+                try:
+                    self.child.kill()
+                except Exception:
+                    pass
+            self.artifact.setdefault(
+                "error", f"terminated by signal {signum} "
+                         f"at {time.time() - self.t0:.0f}s")
+            self.emit()
+            os._exit(0)
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+            try:
+                signal.signal(sig, bail)
+            except Exception:
+                pass
+        # backstop: even if budget accounting slips, the alarm emits
+        # before an external killer does
+        try:
+            signal.alarm(max(1, int(self.deadline)))
+        except Exception:
+            pass
+
+    # -- sections ---------------------------------------------------
+
+    def run_section(self, name, budget, extra_env=None,
+                    extra_args=()):
+        """Run ``bench.py --section name`` as a child with a hard
+        timeout; merge every @@BENCH@@ marker it printed (also the
+        partial ones of a timed-out child). Records per-section status."""
+        if budget <= 5:
+            self.sections[name] = {"status": "skipped",
+                                   "reason": "no budget left"}
+            return False
+        t0 = time.time()
+        env = dict(os.environ)
+        if extra_env:
+            env.update(extra_env)
+        flags = list(self.argv)
+        if self.artifact.get("small_mode") and "--small" not in flags:
+            flags.append("--small")
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--section", name, *extra_args, *flags]
+        status, out_text = "ok", ""
+        try:
+            self.child = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True, env=env)
+            try:
+                out_text, _ = self.child.communicate(timeout=budget)
+                if self.child.returncode != 0:
+                    status = f"exit {self.child.returncode}"
+            except subprocess.TimeoutExpired:
+                self.child.kill()
+                rest, _ = self.child.communicate()
+                out_text = (out_text or "") + (rest or "")
+                status = "timeout"
+        except Exception as error:
+            status = f"error: {error}"
+        finally:
+            self.child = None
+        got = 0
+        for line in (out_text or "").splitlines():
+            if line.startswith(_MARK):
+                try:
+                    self.merge(json.loads(line[len(_MARK):]))
+                    got += 1
+                except Exception:
+                    pass
+        rec = {"status": status, "wall_s": round(time.time() - t0, 1)}
+        if status != "ok":
+            # the last non-marker lines are the child's dying words
+            # (exception traceback tail) — keep a bounded excerpt
+            lines = [ln for ln in (out_text or "").splitlines()
+                     if not ln.startswith(_MARK)]
+            if lines:
+                rec["tail"] = " | ".join(lines[-3:])[-400:]
+        self.sections[name] = rec
+        self.write_partial()
+        return status == "ok" and got > 0
+
+    def run(self):
+        self.install_handlers()
+        small = ("--small" in self.argv
+                 or os.environ.get("XCORR_BENCH_SMALL") == "1")
+
+        # 1. device probe: bounds backend init + first execute (the
+        # tunnel can hang EITHER uninterruptibly — CLAUDE.md outage
+        # modes; a probe child with a timeout is the only safe check).
+        # A fast non-zero exit is also surfaced (round-3 advisory).
+        probe_budget = min(
+            float(os.environ.get("XCORR_BENCH_INIT_TIMEOUT", "900")),
+            max(self.remaining() - 120, 60))
+        device_ok = self.run_section("probe", probe_budget)
+        if not device_ok:
+            st = self.sections.get("probe", {}).get("status")
+            self.artifact["error"] = (
+                f"device init+execute probe failed ({st}); "
+                f"device sections skipped")
+        if self.artifact.get("platform") == "cpu" \
+                and "--full" not in self.argv:
+            small = True
+        self.artifact["small_mode"] = small
+
+        # 2. reference constant: cached per host (measuring it costs
+        # ~2 min of day-scale single-core numpy — not worth re-paying
+        # every run; VERDICT r3 ask 1c)
+        ref = None
+        if not small and os.path.exists(_REF_CACHE):
+            try:
+                with open(_REF_CACHE) as f:
+                    ref = json.load(f)
+            except Exception:
+                ref = None
+        if ref and ref.get("n") == _geometry(small)[0]:
+            self.merge({"t_ref_s": ref["t_ref_s"]})
+            self.sections["reference"] = {"status": "cached"}
+        else:
+            self.run_section(
+                "reference", min(300, self.remaining() - 60))
+
+        if device_ok:
+            # 3. kernel headline — the single most important number;
+            # gets the lion's share of any tight budget
+            self.run_section(
+                "kernel",
+                min(1500 if not small else 300,
+                    max(self.remaining() - 500, 240)))
+
+            if "--sweep" in self.argv:
+                self.run_section("sweep",
+                                 min(600, self.remaining() - 400))
+
+            # 4. e2e campaign (unless suppressed)
+            if "--e2e" in self.argv or (not small and
+                                        "--no-e2e" not in self.argv):
+                self.run_section(
+                    "e2e", max(self.remaining() - 400, 120))
+
+        # 5. mesh-8 host-cost measurement: cpu platform, lands even
+        # with the tunnel down
+        if not small and "--no-e2e" not in self.argv:
+            self.run_section(
+                "mesh8", min(600, self.remaining() - 45),
+                extra_env={
+                    "XLA_FLAGS":
+                        (os.environ.get("XLA_FLAGS", "") +
+                         " --xla_force_host_platform_device_count=8"
+                         ).strip(),
+                    # mesh8 must not inherit a forced wire codec
+                    "XCORR_WIRE_PACK": "0",
+                })
+
+        # 6. per-config results recorded by
+        # `benchmarks/run_configs.py --save` (BASELINE.md's five
+        # workloads), inlined so the driver artifact carries them
+        cfg = os.path.join(_REPO, "benchmarks", "results_latest.json")
+        if os.path.exists(cfg):
+            try:
+                with open(cfg) as f:
+                    self.merge({"configs_recorded": json.load(f)})
+            except Exception:
+                pass
+
+        self.emit()
+
+
+def main():
+    argv = sys.argv[1:]
+    if "--section" in argv:
+        # child mode: run one measurement section, stream markers.
+        # The parent decides small mode (it knows the probed platform)
+        # and passes --small explicitly.
+        i = argv.index("--section")
+        name = argv[i + 1]
+        small = ("--small" in argv
+                 or os.environ.get("XCORR_BENCH_SMALL") == "1")
+        plat = os.environ.get("XCORR_BENCH_PLATFORM")
+        if plat and name != "mesh8":  # mesh8 pins cpu itself
+            # config update (not the env var): the axon plugin ignores
+            # JAX_PLATFORMS — lets the whole bench run offline on cpu
+            import jax
+            jax.config.update("jax_platforms", plat)
+        _heap_reuse()
+        {"probe": lambda: _section_probe(),
+         "kernel": lambda: _section_kernel(small),
+         "sweep": lambda: _section_sweep(small),
+         "reference": lambda: _section_reference(small),
+         "e2e": lambda: _section_e2e(small),
+         "mesh8": lambda: _section_mesh8(small)}[name]()
+        return
+
+    deadline = float(os.environ.get("XCORR_BENCH_DEADLINE", "2400"))
+    orch = _Orchestrator(deadline, argv)
+    import atexit
+    atexit.register(orch.emit)
+    try:
+        orch.run()
+    except Exception as error:
+        orch.artifact.setdefault("error",
+                                 f"{type(error).__name__}: {error}")
+        orch.emit()
 
 
 if __name__ == "__main__":
