@@ -673,6 +673,68 @@ class TestDeviceEngine:
                                    ds_clean["cc"].values[0, 1:],
                                    atol=5e-6)
 
+    def test_device_bulk_ragged_tail_reuses_executables(self):
+        """A tail chunk with fewer day-tasks than the campaign's
+        chunking policy must compile ZERO new executables: the union
+        grid pads to the canonical full-chunk geometry (the archive
+        fetch still covers only the real days) and phantom day-tasks
+        complete the launch packing so the offset tuples — and the
+        compiled pipelines — repeat (engine._phantom_pad)."""
+        from xcorr_tpu.parallel.engine import (_pipeline_cache,
+                                               device_process_bulk)
+
+        STRIDE = 7200.0  # adjacent 2h blocks (union guard engages)
+        # a clip_lag no other test uses: executable reuse must come
+        # from THIS test's full-chunk run, not a cross-test alias
+        CLIP = (-83.0, 83.0)
+
+        def blocks(n):
+            t0 = pd.Timestamp("2014-01-01")
+            return [init_ds(
+                starttime=t0 + pd.Timedelta(seconds=STRIDE * i),
+                endtime=t0 + pd.Timedelta(seconds=STRIDE * (i + 1)),
+                clip_lag=CLIP) for i in range(n)]
+
+        full = blocks(2)
+        fin, fb = device_process_bulk(
+            full, make_client(), canonical_days=2,
+            canonical_stride_s=STRIDE, verb=0)
+        assert not fb
+        fin()
+        assert all((d["status"].values == 1).all() for d in full)
+        keys = set(_pipeline_cache)
+
+        # the tail chunk (1 of 2 canonical day-tasks) reuses the full
+        # chunk's executables — and its fetch covers only the real day
+        fetched = []
+
+        class SpanRecorder(SyntheticClient):
+            def get_waveforms(self, duration=None, **kw):
+                fetched.append(duration)
+                return super().get_waveforms(duration=duration, **kw)
+
+        tail = blocks(1)
+        client = SpanRecorder(
+            sampling_rate=FS,
+            delays={"IM.H03S1..EDH": 0.0, "IU.RAR.10.BHZ": DELAY},
+            source_period=600.0, source_amplitude=20.0)
+        fin, fb = device_process_bulk(
+            tail, client, canonical_days=2, canonical_stride_s=STRIDE,
+            verb=0)
+        assert not fb
+        fin()
+        assert set(_pipeline_cache) == keys, \
+            "tail chunk compiled new executables"
+        assert (tail[0]["status"].values == 1).all()
+        # archive requests stayed at the single-task span (the grid
+        # padding is zero-fill, not a phantom-day fetch)
+        assert fetched and max(fetched) < STRIDE + 2 * WINDOW, fetched
+        # day-0 windows are computed by the same executable on the same
+        # inputs in both runs
+        np.testing.assert_allclose(tail[0]["cc"].values,
+                                   full[0]["cc"].values,
+                                   rtol=2e-6, atol=1e-7)
+
     def test_device_process_wire_packed(self, monkeypatch):
         """With the int16 wire codec forced on, the engine's readback
         decodes into CCFs within the codec's quantization bound of the

@@ -241,6 +241,58 @@ class TestXfer:
         assert got is out
         assert float(out.min()) == float(out.max()) == 3.5
 
+    def test_device_fetch_row_done_streams_in_order(self, monkeypatch):
+        """row_done fires per landed chunk with strictly growing row
+        counts; every reported prefix is already final (the engine's
+        streamed scatter + the writer-tail overlap rely on this)."""
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1")
+        x = jnp.arange(8 * 150_000, dtype=jnp.float32).reshape(8, 150_000)
+        ref = np.asarray(x)
+        seen = []
+
+        def row_done(out, n):
+            np.testing.assert_array_equal(out[:n], ref[:n])
+            seen.append(n)
+
+        got = util.xfer.device_fetch(x, row_done=row_done)
+        np.testing.assert_array_equal(got, ref)
+        assert seen == sorted(seen) and seen[-1] == 8
+        assert len(seen) > 1  # genuinely chunked, not one final call
+        # non-chunked path: one final callback
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "0")
+        seen.clear()
+        util.xfer.device_fetch(x, row_done=row_done)
+        assert seen == [8]
+
+    def test_device_fetch_row_done_packed_decodes_rows(self, monkeypatch):
+        """PackedWire readbacks decode per landed chunk: row_done sees
+        final float32 rows (incl. the all-NaN corrupt-row semantics)."""
+        import jax.numpy as jnp
+        monkeypatch.setenv("XCORR_WIRE_PACK", "1")
+        monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "1")
+        monkeypatch.setattr(util.xfer, "_PACK_MIN_BYTES", 0)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(6, 200_000)).astype(np.float32)
+        x[2, 5] = np.nan  # corrupt row decodes all-NaN
+        packed = util.xfer.pack_for_wire(jnp.asarray(x))
+        assert isinstance(packed, util.xfer.PackedWire)
+        seen = []
+
+        def row_done(out, n):
+            assert out.dtype == np.float32
+            if n >= 2:
+                assert np.abs(out[0] - x[0]).max() < 1e-4
+            if n >= 3:
+                assert np.isnan(out[2]).all()
+            seen.append(n)
+
+        got = util.xfer.device_fetch(packed, row_done=row_done)
+        assert seen[-1] == 6 and seen == sorted(seen)
+        assert np.isnan(got[2]).all()
+        ok = [0, 1, 3, 4, 5]
+        assert np.abs(got[ok] - x[ok]).max() < 1e-4
+
     def test_device_fetch_disabled_and_host_passthrough(self, monkeypatch):
         monkeypatch.setenv("XCORR_D2H_CHUNK_MB", "0")
         a = np.random.default_rng(0).normal(size=(8, 16)).astype(np.float32)

@@ -173,6 +173,14 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
     timer = kwargs.get("timer") or util.profiler.StageTimer()
     chunks = [pair_days[i:i + days_per_launch]
               for i in range(0, len(pair_days), days_per_launch)]
+    # canonical chunking policy for the engine: the campaign's day
+    # stride lets a ragged TAIL chunk pad its union-span grid and
+    # launch groups to the full-chunk geometry, reusing the campaign's
+    # compiled executables instead of paying one fresh multi-minute
+    # compile mid-campaign (engine._phantom_pad)
+    utimes = sorted({t.value for _, t in pair_days})
+    stride_s = (min(b - a for a, b in zip(utimes, utimes[1:])) / 1e9
+                if len(utimes) > 1 else None)
     with ThreadPoolExecutor(max_workers=2) as writer:
         for chunk in chunks:
             try:
@@ -213,6 +221,8 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
                 finalize, fallback = device_process_bulk(
                     [d for _, _, d, _ in items], client,
                     inventory=inventory, retry_missing=True, mesh=mesh,
+                    canonical_days=days_per_launch,
+                    canonical_stride_s=stride_s,
                     verb=verb - 1 if verb else 0, **kwargs)
                 fb_ids = {id(d) for d in fallback}
                 for pair, time, data, nc in items:

@@ -150,20 +150,26 @@ def _prepare_pair(dataset, ip, client, inventory, operations, times,
     def fetch_span(receiver):
         """Fetch the chunk-wide union span for this receiver when
         device_process_bulk marked it profitable, the pending-window
-        span otherwise. Returns ``(trace_or_None, req_t0, req_span)``
-        — the REQUEST defines the canonical sample grid everything
-        downstream aligns to."""
+        span otherwise. Returns ``(trace_or_None, grid_t0, grid_span)``
+        — the GRID span defines the canonical sample grid everything
+        downstream aligns to. It can exceed the fetched span: a tail
+        chunk's grid is padded to the full-chunk (canonical) geometry
+        so its executables repeat, while the archive request covers
+        only the real days (the surplus grid stays zero-filled and no
+        valid window touches it)."""
         u = caches.get("union", {}).get(receiver)
         if u is not None:
-            req_t0, req_span = u[0], (u[1] - u[0]).total_seconds()
+            req_t0 = u[0]
+            req_span = (u[1] - u[0]).total_seconds()
+            grid_span = (u[2] - u[0]).total_seconds()
         else:
-            req_t0, req_span = t0, span
+            req_t0, req_span, grid_span = t0, span, span
         st = client.get_waveforms(
             receiver=receiver,
             time=req_t0 + pd.Timedelta(seconds=req_span / 2),
             centered=True, duration=req_span, buffer=0.0, verb=0,
             **kwargs)
-        return (st[0] if len(st) else None), req_t0, req_span
+        return (st[0] if len(st) else None), req_t0, grid_span
 
     def fetch_cached(receiver):
         u = caches.get("union", {}).get(receiver)
@@ -388,11 +394,61 @@ def _dataset_geometry(dataset):
     }
 
 
+def _phantom_pad(group, canonical_days: int, stride_s: float):
+    """Pad a launch group of day-tasks to the canonical chunk size with
+    PHANTOM tasks: copies of the last real task whose window offsets
+    shift by whole day strides into the (zero-filled, canonically
+    extended) union grid. Greedy packing then reproduces the full
+    chunks' exact offset tuples, so a tail chunk reuses the campaign's
+    compiled executables instead of compiling its own.
+
+    Strictly guarded — padding only applies to groups that look like a
+    canonical chunk prefix: every task repeats the previous task's
+    window pattern shifted by exactly one stride, on the SAME pooled
+    union-span arrays, and the shifted phantom windows must lie inside
+    the canonical grid. Groups failing any check (mixed pairs, sparse
+    resumes, disengaged unions, sub-stride jitter) are left untouched
+    and simply compile their own executable as before."""
+    n = len(group)
+    if n == 0 or n >= canonical_days:
+        return
+    last = group[-1]
+    sa = int(round(stride_s * last["fs_a"]))
+    sb = int(round(stride_s * last["fs_b"]))
+
+    def offs(t, side):
+        return sorted(t[f"rel_{side}"][k] for k in t["good"])
+
+    for prev, cur in zip(group, group[1:]):
+        if (id(cur["data_a"]) != id(prev["data_a"])
+                or id(cur["data_b"]) != id(prev["data_b"])
+                or offs(cur, "a") != [v + sa for v in offs(prev, "a")]
+                or offs(cur, "b") != [v + sb for v in offs(prev, "b")]):
+            return
+    phantoms = []
+    for j in range(1, canonical_days - n + 1):
+        rel_a = {k: v + j * sa for k, v in last["rel_a"].items()}
+        rel_b = {k: v + j * sb for k, v in last["rel_b"].items()}
+        if (max(rel_a.values()) + last["npts_raw_a"] > last["need_a"]
+                or max(rel_b.values()) + last["npts_raw_b"]
+                > last["need_b"]):
+            # grid was not canonically extended (union disengaged or no
+            # room): cannot place phantoms — leave the group as-is
+            # (all-or-nothing: a PARTIAL pad would compile a unique
+            # executable matching neither the padded nor the raw shape)
+            return
+        phantoms.append({**last, "rel_a": rel_a, "rel_b": rel_b,
+                         "phantom": True})
+    group.extend(phantoms)
+
+
 def device_process_bulk(datasets, client, inventory=None,
                         buffer: float = None, retry_missing: bool = False,
                         mesh=None, verb: int = 1, timer=None,
                         fetch_workers: int = None,
-                        max_windows_per_launch: int = 32, **kwargs):
+                        max_windows_per_launch: int = 32,
+                        canonical_days: int = None,
+                        canonical_stride_s: float = None, **kwargs):
     """Prepare and LAUNCH every unprocessed (pair, time) window of
     several datasets (typically several days x pairs) as shared device
     batches; defer readback/bookkeeping to the returned callable.
@@ -416,6 +472,21 @@ def device_process_bulk(datasets, client, inventory=None,
     oversubscribes the 16 GB chip; see the HBM-budget comment below).
     At the production config an 8-day chunk therefore dispatches as
     2 launches of 32 windows.
+
+    ``canonical_days`` + ``canonical_stride_s`` declare the caller's
+    chunking policy (``days_per_launch`` day-tasks at the campaign's
+    day stride): a TAIL chunk with fewer days then (a) pads each
+    receiver's union-span GRID to the full-chunk geometry (the archive
+    fetch still covers only the real days; the surplus grid is
+    zero-filled and no valid window addresses it) and (b) pads each
+    launch group with PHANTOM day-tasks — the last real task's window
+    offsets shifted by whole day strides into the zero-filled grid —
+    so the greedy packing reproduces the full chunks' exact offset
+    tuples. The tail then reuses the campaign's existing executables
+    instead of compiling its own (a multi-minute cost through tunneled
+    runtimes). Phantom windows compute garbage (0/0 normalization) that
+    is sliced off ON DEVICE before readback; all-phantom packs are
+    dropped before launch.
     """
     if timer is None:
         timer = util.profiler.StageTimer()  # unreported no-op sink
@@ -456,7 +527,7 @@ def device_process_bulk(datasets, client, inventory=None,
     # Guarded per receiver: only when the union is actually smaller
     # than the per-task fetches it replaces (a sparse resume of
     # scattered days would otherwise fetch the whole gap).
-    union_bounds, union_spans = {}, {}
+    union_bounds, union_spans, union_single = {}, {}, {}
     for dataset, geo, buf, status, ip in jobs:
         times = geo["times"]
         # the PENDING windows only (mirrors _prepare_pair's work set):
@@ -479,10 +550,25 @@ def device_process_bulk(datasets, client, inventory=None,
             # the union must beat the deduped per-task cost, not the
             # naive per-pair sum
             union_spans.setdefault(r, set()).add((t0.value, t1.value))
-    caches["union"] = {
-        r: (t0, t1) for r, (t0, t1) in union_bounds.items()
-        if (t1 - t0).total_seconds() <= sum(
-            (s1 - s0) / 1e9 for s0, s1 in union_spans[r])}
+            union_single[r] = max(union_single.get(r, 0.0),
+                                  (t1 - t0).total_seconds())
+    caches["union"] = {}
+    for r, (t0, t1) in union_bounds.items():
+        # engagement guard on the UNEXTENDED union so full and tail
+        # chunks of one campaign take the same decision
+        if (t1 - t0).total_seconds() > sum(
+                (s1 - s0) / 1e9 for s0, s1 in union_spans[r]):
+            continue
+        t1_grid = t1
+        if canonical_days and canonical_stride_s:
+            # canonical grid: what a FULL chunk of canonical_days
+            # day-tasks would span from this t0 (exact equality for
+            # full contiguous chunks — the extension is then a no-op)
+            ext = t0 + pd.Timedelta(
+                seconds=(canonical_days - 1) * canonical_stride_s
+                + union_single[r])
+            t1_grid = max(t1, ext)
+        caches["union"][r] = (t0, t1, t1_grid)
 
     def prep(job):
         dataset, geo, buf, status, ip = job
@@ -557,6 +643,10 @@ def device_process_bulk(datasets, client, inventory=None,
         t["buf_out"] = buf_out
         groups.setdefault(key, []).append(t)
 
+    if canonical_days and canonical_stride_s:
+        for group in groups.values():
+            _phantom_pad(group, canonical_days, canonical_stride_s)
+
     # day-scale HBM budget: a single launch of the whole multi-day
     # batch (64+ windows) oversubscribes the 16 GB chip (stacks + chain
     # intermediates + the CC kernel's working set) and the runtime
@@ -576,6 +666,11 @@ def device_process_bulk(datasets, client, inventory=None,
             nwin += w
         if pack:
             packs.append(pack)
+    # phantoms exist only to complete the pack holding the last real
+    # windows; a pack of NOTHING but phantoms would burn device time on
+    # discarded work (its executable, shared with the full chunks, is
+    # already compiled)
+    packs = [p for p in packs if any(not t.get("phantom") for t in p)]
 
     # one host->device transfer per unique span-stack composition: with
     # chunk-union spans, every pack of a chunk draws on the SAME pooled
@@ -632,6 +727,10 @@ def device_process_bulk(datasets, client, inventory=None,
         offsets_b = [(_slot(pool_b, slot_b, t["data_b"]),
                       t["rel_b"][k]) for t in group for k in t["good"]]
         nused = len(offsets_a)
+        # phantom windows (canonical tail padding) sit AFTER the real
+        # tasks' windows — only the real rows are read back
+        nreal = sum(len(t["good"]) for t in group
+                    if not t.get("phantom"))
         # static dummy windows pad the batch to a mesh-divisible bucket
         # (executable reuse itself comes from canonical offsets; see
         # pad_nwin docstring)
@@ -653,21 +752,24 @@ def device_process_bulk(datasets, client, inventory=None,
         if kb != ka and kb not in dev_stacks:
             # kb == ka (autocorrelation) reuses side a's fresh transfer
             fresh += sum(b.nbytes for b in pool_b)
-        with timer("device-dispatch", nbytes=fresh, items=nused):
+        with timer("device-dispatch", nbytes=fresh, items=nreal):
             raw_a = _dev_stack(pool_a)
             raw_b = _dev_stack(pool_b)
         if verb:
-            print(f"device_process: {nused} windows "
+            print(f"device_process: {nreal} windows "
                   f"({len(group)} pair-days, "
                   f"{len(pool_a)}+{len(pool_b)} unique spans, "
-                  f"{fresh / 1e6:.0f} MB fresh span transfer)")
-        with timer("device-dispatch", nbytes=0, items=nused):
-            # slice off the bucket-pad rows ON DEVICE (async) so the
-            # tunnel/PCIe readback only moves real windows; on tunneled
-            # links additionally pack to int16 block-float (half the
-            # f32 readback bytes, util.xfer.pack_for_wire policy)
+                  f"{fresh / 1e6:.0f} MB fresh span transfer"
+                  + (f", {nused - nreal} phantom windows)"
+                     if nused != nreal else ")"))
+        with timer("device-dispatch", nbytes=0, items=nreal):
+            # slice off the bucket-pad AND phantom rows ON DEVICE
+            # (async) so the tunnel/PCIe readback only moves real
+            # windows; on tunneled links additionally pack to int16
+            # block-float (half the f32 readback bytes,
+            # util.xfer.pack_for_wire policy)
             ccf_dev = util.xfer.pack_for_wire(
-                pipe.launch(raw_a, raw_b)[:nused])
+                pipe.launch(raw_a, raw_b)[:nreal])
             # kick the device->host copy off NOW (non-blocking): the
             # transfer then rides the runtime while the remaining packs
             # fetch/dispatch and while finalize scatters earlier
@@ -676,7 +778,7 @@ def device_process_bulk(datasets, client, inventory=None,
             # an in-flight monolithic copy would just double the wire
             # traffic there (util.xfer.prefetch docstring)
             util.xfer.prefetch(ccf_dev)
-        launches.append((group, nused, ccf_dev))
+        launches.append((group, nreal, ccf_dev))
 
     # windows still in flight per dataset: lets finalize() hand each
     # dataset to the caller AS SOON as its last launch is read back, so
@@ -685,6 +787,8 @@ def device_process_bulk(datasets, client, inventory=None,
     launched_windows = {}
     for group, nused, _ in launches:
         for t in group:
+            if t.get("phantom"):
+                continue
             key = id(t["dataset"])
             launched_windows[key] = launched_windows.get(key, 0) \
                 + len(t["good"])
@@ -706,37 +810,58 @@ def device_process_bulk(datasets, client, inventory=None,
                 on_complete(dataset)
 
         for group, nused, ccf_dev in launches:
+            # per-task row ranges in launch order (phantoms carry no
+            # readback rows)
+            bounds, b = [], 0
+            for t in group:
+                if t.get("phantom"):
+                    continue
+                bounds.append((b, b + len(t["good"]), t))
+                b += len(t["good"])
+            cursor = [0]
+
+            def scatter_ready(ccf, nrows, bounds=bounds, cursor=cursor):
+                """Scatter every task whose rows have fully landed;
+                fires per landed readback chunk (util.xfer.device_fetch
+                row_done), so a dataset completing MID-readback hands
+                off to the caller's writer immediately — the writer-
+                drain tail shrinks to the last dataset's write instead
+                of the last chunk's whole write queue."""
+                complete = []
+                with timer("bookkeeping"):
+                    while (cursor[0] < len(bounds)
+                           and bounds[cursor[0]][1] <= nrows):
+                        b0, b1, t = bounds[cursor[0]]
+                        cursor[0] += 1
+                        geo = t["geo"]
+                        times = geo["times"]
+                        wl = geo["window_length"]
+                        dataset = t["dataset"]
+                        ip = t["ip"]
+                        for b_, k in enumerate(t["good"], start=b0):
+                            it = t["work"][k]
+                            dataset["cc"].values[ip, it] = ccf[b_]
+                            t["status"][ip, it] = 1
+                            dataset["pair_offset"].values[ip, it] = \
+                                t["off_a"][k] - t["off_b"][k]
+                            dataset["time_offset"].values[ip, it] = \
+                                (pd.Timestamp(t["off_a"][k].ns)
+                                 + pd.to_timedelta(wl / 2, unit="s")
+                                 - times[it]) / pd.Timedelta("1s")
+                        key = id(dataset)
+                        launched_windows[key] -= len(t["good"])
+                        if launched_windows[key] == 0:
+                            complete.append(dataset)
+                for dataset in complete:
+                    finish(dataset)
+
             with timer("device-readback"):
                 # row-chunked + async-piped: a monolithic multi-hundred-
                 # MB read degrades to single-digit MB/s through tunneled
-                # runtimes (util.xfer.device_fetch docstring)
-                ccf = util.xfer.device_fetch(ccf_dev)
-            complete = []
-            with timer("bookkeeping"):
-                b = 0
-                for t in group:
-                    geo = t["geo"]
-                    times = geo["times"]
-                    wl = geo["window_length"]
-                    dataset = t["dataset"]
-                    ip = t["ip"]
-                    for k in t["good"]:
-                        it = t["work"][k]
-                        dataset["cc"].values[ip, it] = ccf[b]
-                        b += 1
-                        t["status"][ip, it] = 1
-                        dataset["pair_offset"].values[ip, it] = \
-                            t["off_a"][k] - t["off_b"][k]
-                        dataset["time_offset"].values[ip, it] = \
-                            (pd.Timestamp(t["off_a"][k].ns)
-                             + pd.to_timedelta(wl / 2, unit="s")
-                             - times[it]) / pd.Timedelta("1s")
-                    key = id(dataset)
-                    launched_windows[key] -= len(t["good"])
-                    if launched_windows[key] == 0:
-                        complete.append(dataset)
-            for dataset in complete:
-                finish(dataset)
+                # runtimes (util.xfer.device_fetch docstring). The
+                # row_done hook streams completed tasks to the scatter
+                # while later rows are still on the wire.
+                util.xfer.device_fetch(ccf_dev, row_done=scatter_ready)
         for dataset, _ in items:
             finish(dataset)
         return [d for d, _ in items]

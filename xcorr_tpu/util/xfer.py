@@ -393,7 +393,7 @@ def prefetch(arr) -> bool:
         return False
 
 
-def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
+def device_fetch(arr, out: np.ndarray = None, row_done=None) -> np.ndarray:
     """Copy a (device) array to host memory, row-chunked + async-piped
     when large AND the runtime is tunneled (see module docstring).
     Equivalent to ``np.asarray(arr)`` otherwise.
@@ -401,30 +401,50 @@ def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
     ``out``, when given, must be a C-contiguous host array of matching
     shape/dtype; the result is written into it (no extra allocation).
 
+    ``row_done(out, n)``, when given, fires (on the calling thread)
+    each time leading rows ``out[:n]`` are final — after every landed
+    chunk on the chunked path, once at the end otherwise. Rows complete
+    strictly in order. Consumers use it to overlap per-row work (shard
+    scatter/writes) with the remaining readback of the SAME array —
+    the writer-drain tail then shrinks to the last rows' work instead
+    of the whole array's.
+
     A :class:`PackedWire` (from :func:`pack_for_wire`) is decoded to
     the float32 array it encodes: the int16 payload crosses the wire
     (itself row-chunked when large), the per-row scales ride along, and
-    the multiply happens host-side.
+    the multiply happens host-side (per landed chunk, so ``row_done``
+    sees decoded float32 rows).
     """
     if isinstance(arr, PackedWire):
         scale = np.asarray(arr.scale)
         finite = np.asarray(arr.finite)
-        q = device_fetch(arr.q)
         if out is None:
-            out = q.astype(np.float32)
-            out *= scale
-        else:
-            np.multiply(q, scale, out=out)
-        if not finite.all():
-            # int16 cannot carry a NaN: decode corrupt rows to all-NaN
-            # so the corruption stays detectable (PackedWire docstring)
-            out[~np.broadcast_to(finite, out.shape)] = np.nan
+            out = np.empty(arr.shape, dtype=np.float32)
+        done = [0]
+
+        def decode(q_host, n):
+            i0, done[0] = done[0], n
+            np.multiply(q_host[i0:n], scale[i0:n], out=out[i0:n])
+            if not finite[i0:n].all():
+                # int16 cannot carry a NaN: decode corrupt rows to
+                # all-NaN so the corruption stays detectable
+                # (PackedWire docstring)
+                sel = ~np.broadcast_to(finite[i0:n], out[i0:n].shape)
+                out[i0:n][sel] = np.nan
+            if row_done is not None:
+                row_done(out, n)
+
+        device_fetch(arr.q, row_done=decode)
+        if out.ndim and done[0] < out.shape[0]:  # pragma: no cover
+            raise RuntimeError("packed readback incomplete")
         return out
     if not _should_chunk(arr):
         host = np.asarray(arr)
         if out is not None:
             out[...] = host
-            return out
+            host = out
+        if row_done is not None:
+            row_done(host, host.shape[0] if host.ndim else 0)
         return host
     chunk_mb = _chunk_mb()
     nbytes = arr.nbytes
@@ -445,6 +465,8 @@ def device_fetch(arr, out: np.ndarray = None) -> np.ndarray:
     def drain():
         i0, n0, s0 = pend.pop(0)
         out[i0:i0 + n0] = np.asarray(s0)
+        if row_done is not None:
+            row_done(out, i0 + n0)
 
     with _WIRE_LOCK if _serialize_wire() else nullcontext():
         for i in range(0, rows, r):
