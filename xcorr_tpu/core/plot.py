@@ -155,6 +155,27 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
                  transform=ax1.transAxes, ha="right", va="top")
 
     # spectrogram (or wavelet scaleogram) of one window
+    mesh = _spectrogram_panel(
+        ax2, cc, time, normalize, lag_lim, freq_lim, spectrogram_cwt,
+        spectrogram_db, spectrogram_contourf, spectrogram_kwargs,
+        spectrogram_plot_kwargs)
+    cb = plt.colorbar(mesh, cax=ax3, use_gridspec=True,
+                      extend="both" if spectrogram_db else "max")
+    cb.set_label("PSD [dB]" if spectrogram_db else "PSD [-]")
+    return gs
+
+
+def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
+                       spectrogram_cwt, spectrogram_db,
+                       spectrogram_contourf, spectrogram_kwargs,
+                       spectrogram_plot_kwargs):
+    """Draw one window's spectrogram (or wavelet scaleogram) into
+    ``ax``; returns the mesh for the caller's colorbar. Shared by
+    :func:`plot_ccf` (reference parity, ``xcorr/core/plot.py:198-225``)
+    and :func:`plot_ccfs`'s per-pair panel variant (no reference
+    analog)."""
+    from matplotlib.ticker import AutoMinorLocator
+
     one = cc
     if "time" in one.dims:
         one = one.isel(time=int(time))
@@ -184,33 +205,42 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
         spectrogram_plot_kwargs.setdefault("extend",
                                            "both" if spectrogram_db
                                            else "max")
-        mesh = ax2.contourf(lagv, freq, np.nan_to_num(pv, nan=vmin),
-                            **spectrogram_plot_kwargs)
+        mesh = ax.contourf(lagv, freq, np.nan_to_num(pv, nan=vmin),
+                           **spectrogram_plot_kwargs)
     else:
         spectrogram_plot_kwargs.setdefault("shading", "auto")
-        mesh = ax2.pcolormesh(lagv, freq, pv, **spectrogram_plot_kwargs)
-    ax2.set_xlim(*lag_lim)
+        mesh = ax.pcolormesh(lagv, freq, pv, **spectrogram_plot_kwargs)
+    ax.set_xlim(*lag_lim)
     if freq_lim:
-        ax2.set_ylim(*freq_lim)
-    ax2.set_xlabel("Lag [s]")
-    ax2.set_ylabel("Frequency [Hz]")
-    ax2.xaxis.set_minor_locator(AutoMinorLocator())
-    ax2.yaxis.set_minor_locator(AutoMinorLocator())
-    ax2.xaxis.set_ticks_position("both")
-    ax2.yaxis.set_ticks_position("both")
-
-    cb = plt.colorbar(mesh, cax=ax3, use_gridspec=True,
-                      extend="both" if spectrogram_db else "max")
-    cb.set_label("PSD [dB]" if spectrogram_db else "PSD [-]")
-    return gs
+        ax.set_ylim(*freq_lim)
+    ax.set_xlabel("Lag [s]")
+    ax.set_ylabel("Frequency [Hz]")
+    ax.xaxis.set_minor_locator(AutoMinorLocator())
+    ax.yaxis.set_minor_locator(AutoMinorLocator())
+    ax.xaxis.set_ticks_position("both")
+    ax.yaxis.set_ticks_position("both")
+    return mesh
 
 
 def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
               cmin: float = None, cmax: float = None, cmajor: float = None,
               cminor: float = None, lag_lim: tuple = None,
-              cc_plot_kwargs: dict = None, figure=None, **kwargs):
+              cc_plot_kwargs: dict = None, figure=None,
+              spectrogram: bool = False, time=0,
+              freq_lim: tuple = None, spectrogram_cwt: bool = False,
+              spectrogram_db: bool = True,
+              spectrogram_contourf: bool = False,
+              spectrogram_kwargs: dict = None,
+              spectrogram_plot_kwargs: dict = None, **kwargs):
     """Multi-pair CCFs in stacked per-pair axes with celerity ticks
-    (reference ``xcorr/core/plot.py:254-375``). Returns the GridSpec."""
+    (reference ``xcorr/core/plot.py:254-375``). Returns the GridSpec.
+
+    ``spectrogram=True`` adds a per-pair spectrogram column for window
+    ``time`` — the multi-pair analog of :func:`plot_ccf`'s panel, with
+    the same ``spectrogram_cwt`` (wavelet scaleogram),
+    ``spectrogram_db`` and ``spectrogram_contourf`` variants (no
+    reference analog; the reference only offers the panel on its
+    single-pair plot, ``xcorr/core/plot.py:31-47``)."""
     import matplotlib.pyplot as plt
     from matplotlib.gridspec import GridSpec
     from matplotlib.ticker import AutoMinorLocator, StrMethodFormatter
@@ -238,14 +268,18 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
     else:
         lag_lim = lag_lim or (float(lag.min()), float(lag.max()))
 
-    fig = figure or plt.figure(constrained_layout=True,
-                               figsize=kwargs.pop("figsize",
-                                                  (7, len(pairs) + 1)))
-    gs = GridSpec(len(pairs), 1, figure=fig)
+    fig = figure or plt.figure(
+        constrained_layout=True,
+        figsize=kwargs.pop("figsize",
+                           (10 if spectrogram else 7, len(pairs) + 1)))
+    if spectrogram:
+        gs = GridSpec(len(pairs), 2, figure=fig, width_ratios=(3, 2))
+    else:
+        gs = GridSpec(len(pairs), 1, figure=fig)
     cc_plot_kwargs = {"color": "k", "alpha": 0.25, "lw": 0.7,
                       **(cc_plot_kwargs or {})}
 
-    axes = []
+    axes, meshes = [], []
     for i, pair in enumerate(pairs):
         ax = fig.add_subplot(gs[i, 0]) if i == 0 else \
             fig.add_subplot(gs[i, 0], sharex=axes[0], sharey=axes[0])
@@ -278,6 +312,22 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
                         .ravel()[0])[:19],
                     transform=ax.transAxes, ha="right", va="top")
         axes.append(ax)
+        if spectrogram:
+            axp = fig.add_subplot(gs[i, 1]) if i == 0 else \
+                fig.add_subplot(gs[i, 1], sharex=meshes[0][0],
+                                sharey=meshes[0][0])
+            mesh = _spectrogram_panel(
+                axp, sel, time, normalize, lag_lim, freq_lim,
+                spectrogram_cwt, spectrogram_db, spectrogram_contourf,
+                spectrogram_kwargs, spectrogram_plot_kwargs)
+            if i != len(pairs) - 1:
+                axp.set_xlabel(None)
+                axp.tick_params(labelbottom=False)
+            meshes.append((axp, mesh))
+    if spectrogram and meshes:
+        cb = fig.colorbar(meshes[-1][1], ax=[m[0] for m in meshes],
+                          extend="both" if spectrogram_db else "max")
+        cb.set_label("PSD [dB]" if spectrogram_db else "PSD [-]")
     return gs
 
 
