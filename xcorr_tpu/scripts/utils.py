@@ -78,7 +78,25 @@ def init_compute(args, workload: str = "correlate"):
             jax.config.update("jax_platforms", plat.split(",")[0])
         except RuntimeError:
             pass  # backend already initialized
-    return {"nworkers": n}
+    # multi-host formation join (--coordinator/--num-processes/
+    # --process-id or the JAX_* env vars): the analog of the
+    # reference's scheduler-file cluster attach. Must happen before
+    # first backend use; lazy_process then auto-detects the formation
+    # and takes this host's slice of the campaign.
+    distributed = False
+    if (getattr(args, "coordinator", None)
+            or getattr(args, "num_processes", None)
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        from ..parallel.distributed import initialize
+        distributed = initialize(
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None))
+        if distributed:
+            import jax
+            logging.info("joined multi-host formation: process %d/%d",
+                         jax.process_index(), jax.process_count())
+    return {"nworkers": n, "distributed": distributed}
 
 
 def add_common_arguments(parser: argparse.ArgumentParser,
@@ -90,7 +108,25 @@ def add_common_arguments(parser: argparse.ArgumentParser,
     parser.add_argument(
         "--scheduler", metavar="..", type=str, default=None,
         help="Accepted for reference-CLI compatibility (ignored: device "
-             "parallelism uses the JAX mesh)")
+             "parallelism uses the JAX mesh; to join a multi-host "
+             "formation use --coordinator)")
+    # multi-host formation join: the TPU-native analog of the
+    # reference's `--scheduler` Dask cluster attach
+    # (xcorr/scripts/utils.py:50-79) — each host process joins the same
+    # jax.distributed formation and takes its host_slice of the
+    # campaign (core.lazy auto-detects the multi-process state)
+    parser.add_argument(
+        "--coordinator", metavar="host:port", type=str, default=None,
+        help="Join an existing jax.distributed formation at this "
+             "coordinator address (defaults to JAX_COORDINATOR_ADDRESS)")
+    parser.add_argument(
+        "--num-processes", metavar="N", type=int, default=None,
+        help="Total host processes in the formation "
+             "(with --coordinator; defaults to JAX_NUM_PROCESSES)")
+    parser.add_argument(
+        "--process-id", metavar="I", type=int, default=None,
+        help="This host's process index in the formation "
+             "(with --coordinator; defaults to JAX_PROCESS_ID)")
     parser.add_argument(
         "--platform", metavar="..", type=str, default=None,
         help="Pin the JAX backend (cpu/tpu); defaults to JAX_PLATFORMS")
