@@ -257,6 +257,28 @@ WORKLOADS = {
     "timelapse": "analysis",
 }
 
+#: one-line provenance for the artifact: round 2 recorded the analysis
+#: configs THROUGH the tunneled device runtime; round 3+ pins them to
+#: the cpu backend (the CLIs' init_compute policy). Cross-round jumps
+#: on these configs (e.g. snr_ct 0.64 -> 33) are the PLATFORM POLICY
+#: change, not kernel optimization — the per-config
+#: ``tunneled_tpu_measured`` field keeps the other platform's
+#: same-session number for honest comparison.
+POLICY_NOTE = ("analysis configs run on the cpu backend when a tunneled "
+               "device runtime is registered (workload-aware policy, "
+               "round 3); round-2 records for snr_ct/beamform/timelapse "
+               "were measured through the tunneled tpu — see each "
+               "result's tunneled_tpu_measured")
+
+#: same-session A/B numbers through the tunneled v5e-1 (the platform
+#: the policy moved these configs OFF; units match each config's
+#: headline metric)
+TUNNELED_TPU_MEASURED = {
+    "snr_ct": {"value": 0.76, "unit": "pair-days/s"},
+    "beamform": {"value": 0.31, "unit": "pair-days/s"},
+    "timelapse": {"value": 8.0, "unit": "cells/s"},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -346,6 +368,14 @@ def main():
                 pass
         for r in results:
             merged[r["config"]] = r
+        for name, r in merged.items():
+            # analysis configs measured on cpu carry the other
+            # platform's same-session number so cross-round readers see
+            # the policy discontinuity, not a phantom 50x optimization
+            if (r.get("platform") == "cpu"
+                    and name in TUNNELED_TPU_MEASURED):
+                r.setdefault("tunneled_tpu_measured",
+                             TUNNELED_TPU_MEASURED[name])
         plat_set = {r.get("platform") for r in merged.values()
                     if r.get("platform")}
         with open(path, "w") as f:
@@ -354,6 +384,7 @@ def main():
                 # summarizes (mixed = workload-aware backend policy)
                 "platform": (plat_set.pop() if len(plat_set) == 1
                              else "mixed"),
+                "policy": POLICY_NOTE,
                 "recorded": datetime.datetime.now(
                     datetime.timezone.utc).isoformat(timespec="seconds"),
                 "results": [merged[k] for k in BENCHES if k in merged],
