@@ -83,17 +83,12 @@ def _mark(d: dict):
 
 
 def _enable_compile_cache():
-    import jax
+    # util.sysmem scopes the dir by the jaxlib build: AOT entries from
+    # a different build crash on load (SIGILL-class; see sysmem
+    # docstring) — never share them
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
-        # pallas custom_calls embed caller file:line locations the
-        # strip-debuginfo pass cannot remove; short locations keep the
-        # cache key invariant to source-line shifts (util.sysmem)
-        jax.config.update("jax_include_full_tracebacks_in_locations",
-                          False)
+        from xcorr_tpu.util.sysmem import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
     except Exception:
         pass
 
@@ -214,12 +209,13 @@ def _host_cpu(stages):
 
 
 def _e2e_setup(small, root, months=("2014-02-01", "2014-03-01"),
-               ndays=None):
+               ndays=None, fs=None):
     """Shared campaign config + pre-populated synthetic SDS archive."""
     import pandas as pd
     from xcorr_tpu.stream import Channel, Inventory, SyntheticClient
 
-    fs = 5.0 if small else 50.0
+    if fs is None:
+        fs = 5.0 if small else 50.0
     window = 3600.0 if small else 86400.0
     overlap = 0.5 if small else 21.0 / 24.0
     if ndays is None:
@@ -584,15 +580,23 @@ def measure_e2e(small):
         return out
 
 
-def measure_mesh8(ndays=4):
-    """Host cost per pair-day when ONE host feeds an 8-device mesh
-    (VERDICT r3 ask #4): the bench e2e campaign on the virtual 8-CPU
-    mesh (xla_force_host_platform_device_count=8), production shapes.
-    Device compute runs on (slow) CPU shards and is excluded — the
-    measurement is the HOST side: fetch + prepare + init + bookkeeping
-    thread-CPU seconds per pair-day while assembling mesh-sharded
-    launches. Runs as its own --section child on the cpu platform, so
-    it lands even when the tunnel is down."""
+def measure_mesh8(ndays=2, fs=12.5):
+    """Host-cost RATIO of feeding an 8-device mesh vs a single device
+    (VERDICT r3 ask #4): the bench e2e campaign runs twice on the cpu
+    platform — mesh=None and mesh=make_mesh(8) over the virtual 8-CPU
+    devices (xla_force_host_platform_device_count=8) — with identical
+    day structure (24 h windows, 3 h shift, production overlap) and the
+    host thread-CPU per pair-day of each is recorded. The ratio scales
+    the REAL e2e campaign's measured 50 Hz host cost into the v5e-8
+    projection clamp (orchestrator derive()).
+
+    Runs at a reduced sampling rate: day-scale shard programs on ONE
+    core reach XLA:CPU's cross-device collectives minutes apart, and
+    its 40 s rendezvous timeout ABORTS the process (measured: all-to-
+    all F-check SIGABRT at fs=50). Host cost structure (fetch /
+    canonicalize / launch assembly per pair-day) is what's measured;
+    the ratio is byte-scale-invariant. Runs as its own --section child
+    on the cpu platform, so it lands even when the tunnel is down."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", False)
@@ -603,34 +607,39 @@ def measure_mesh8(ndays=4):
     from xcorr_tpu.util.profiler import StageTimer
 
     assert len(jax.devices()) >= 8, "need 8 virtual CPU devices"
-    mesh = make_mesh(8)
     with tempfile.TemporaryDirectory() as root:
         cfg = _e2e_setup(False, root, months=("2014-02-01",),
-                         ndays=ndays)
+                         ndays=ndays, fs=fs)
         _mark({"e2e": {"mesh8": {"status": "archive ready"}}})
         times = pd.date_range("2014-02-01", periods=ndays, freq="1D")
-        # one warm run would double the (CPU-compute-heavy) cost; the
-        # host stages we report are warm after the first chunk anyway,
-        # and CPU-compile time is excluded via cpu_s stage accounting
-        timer = StageTimer()
-        t0 = time.time()
-        results = lazy_process(
-            cfg["pairs"], times, cfg["init_args"], cfg["client"],
-            inventory=cfg["inv"], root=os.path.join(root, "m8"),
-            engine="device", days_per_launch=cfg["days_per_launch"],
-            verb=0, timer=timer, mesh=mesh)
-        wall = time.time() - t0
-        stages = timer.as_dict()
-        host = _host_cpu(stages)
-        ok = sum(bool(r) for r in results)
-        out = {"mesh8_host_s_per_pair_day": round(host / ndays, 3),
-               "mesh8": {
-                   "ndays": ndays, "wall_s": round(wall, 1),
-                   "completed": f"{ok}/{len(results)}",
-                   "platform": "cpu x8 (virtual mesh)",
-                   "host_stage_cpu_s": {
-                       k: round(v.get("cpu_s", 0.0), 2)
-                       for k, v in stages.items()}}}
+        out = {"mesh8": {"ndays": ndays, "sampling_rate": fs,
+                         "platform": "cpu x8 (virtual mesh)"}}
+        host_pd = {}
+        for name, mesh in (("single", None), ("mesh8", make_mesh(8))):
+            timer = StageTimer()
+            t0 = time.time()
+            results = lazy_process(
+                cfg["pairs"], times, cfg["init_args"], cfg["client"],
+                inventory=cfg["inv"], root=os.path.join(root, name),
+                engine="device",
+                days_per_launch=cfg["days_per_launch"],
+                verb=0, timer=timer, mesh=mesh)
+            wall = time.time() - t0
+            stages = timer.as_dict()
+            host_pd[name] = _host_cpu(stages) / ndays
+            ok = sum(bool(r) for r in results)
+            out["mesh8"][name] = {
+                "wall_s": round(wall, 1),
+                "completed": f"{ok}/{len(results)}",
+                "host_cpu_s_per_pair_day": round(host_pd[name], 3),
+                "host_stage_cpu_s": {
+                    k: round(v.get("cpu_s", 0.0), 2)
+                    for k, v in stages.items()}}
+            _mark({"e2e": dict(out)})
+        if host_pd.get("single"):
+            ratio = host_pd["mesh8"] / host_pd["single"]
+            out["mesh8"]["host_cost_ratio_vs_single"] = round(ratio, 3)
+            out["mesh8_host_cost_ratio"] = round(ratio, 3)
         return out
 
 
@@ -786,17 +795,20 @@ class _Orchestrator:
             # one window costs t_ref on one core; a pair-day is 8
             ref_pd = (n / 4_320_000) / (t_ref * 8)
             a["vs_baseline"] = round(a["value"] / ref_pd, 1)
-        # the mesh8 host measurement clamps the PCIe-host projection:
-        # one host feeding 8 chips spends mesh8_host s of CPU per
-        # pair-day; with >=8 worker cores (any real TPU host) that
-        # parallelizes 8-way (VERDICT r3 ask #4 — measured input
-        # replaces the assumption)
+        # the mesh8 measurement clamps the PCIe-host projection: the
+        # measured host-cost RATIO of feeding 8 shards vs one scales
+        # the real e2e campaign's 50 Hz host CPU per pair-day; with
+        # >=8 worker cores (any real TPU host) that parallelizes 8-way
+        # (VERDICT r3 ask #4 — measured input replaces the assumption)
         e2e = a.get("e2e")
         if isinstance(e2e, dict):
-            m8 = e2e.get("mesh8_host_s_per_pair_day")
+            ratio = e2e.get("mesh8_host_cost_ratio")
+            host = e2e.get("host_cpu_s_per_pair_day")
             proj = e2e.get("projected_pair_year_s_v5e8_pcie_host")
-            if m8 and proj:
+            if ratio and host and proj:
                 tail = e2e.get("writer_drain_tail_s", 0.0)
+                m8 = host * ratio
+                e2e["mesh8_host_s_per_pair_day_scaled"] = round(m8, 3)
                 e2e["projected_pair_year_s_v5e8_pcie_host"] = round(
                     max(proj, m8 * 366 / 8 + tail), 1)
 

@@ -86,6 +86,19 @@ def enable_persistent_compile_cache() -> bool:
         return False
     try:
         import jax
+        # scope the dir by the jaxlib BUILD: XLA:CPU AOT entries carry
+        # LLVM target-feature strings of the COMPILING build, and a
+        # loader from a different build rejects/mis-executes them
+        # (observed: entries with `+prefer-no-scatter` crashed a CPU
+        # mesh run SIGABRT after "could lead to execution errors such
+        # as SIGILL" loader errors — the cache key does not cover the
+        # build). Same-build processes still share everything.
+        try:
+            import jaxlib
+            build = f"{jax.__version__}-{jaxlib.__version__}"
+        except Exception:
+            build = jax.__version__
+        cache_dir = os.path.join(cache_dir, build)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0)
