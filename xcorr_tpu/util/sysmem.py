@@ -86,13 +86,15 @@ def enable_persistent_compile_cache() -> bool:
         return False
     try:
         import jax
-        # scope the dir by the jaxlib BUILD: XLA:CPU AOT entries carry
-        # LLVM target-feature strings of the COMPILING build, and a
-        # loader from a different build rejects/mis-executes them
-        # (observed: entries with `+prefer-no-scatter` crashed a CPU
-        # mesh run SIGABRT after "could lead to execution errors such
-        # as SIGILL" loader errors — the cache key does not cover the
-        # build). Same-build processes still share everything.
+        # scope the dir by the jaxlib BUILD: XLA:CPU AOT entries embed
+        # the compiling build's LLVM target features, and the cache key
+        # does not cover the build — entries from a different jaxlib
+        # would be loaded and can mis-execute (SIGILL-class). Hygiene
+        # guard; same-build processes still share everything. (NB the
+        # cpu_aot_loader "+prefer-no-scatter not supported on the host
+        # machine" warnings are BENIGN and appear even for entries this
+        # very build wrote minutes earlier — XLA adds tuning pseudo-
+        # features at compile that its own loader check doesn't model.)
         try:
             import jaxlib
             build = f"{jax.__version__}-{jaxlib.__version__}"
