@@ -735,6 +735,58 @@ class TestDeviceEngine:
                                    full[0]["cc"].values,
                                    rtol=2e-6, atol=1e-7)
 
+    def test_phantom_pad_guards(self):
+        """_phantom_pad is all-or-nothing and strictly guarded: only
+        day-periodic groups on shared span arrays with room in the
+        canonical grid get phantoms; anything else stays untouched."""
+        from xcorr_tpu.parallel.engine import _phantom_pad
+
+        fs, stride = 5.0, 7200.0
+        sa = int(stride * fs)
+        da = np.zeros(4 * sa, np.float32)
+        db = np.zeros(4 * sa, np.float32)
+
+        def task(day, data_a=da, data_b=db, need=4 * sa):
+            offs = {k: day * sa + k * 100 for k in range(3)}
+            return {"good": [0, 1, 2], "rel_a": dict(offs),
+                    "rel_b": dict(offs), "fs_a": fs, "fs_b": fs,
+                    "npts_raw_a": 500, "npts_raw_b": 500,
+                    "need_a": need, "need_b": need,
+                    "data_a": data_a, "data_b": data_b}
+
+        # periodic 2-task group, canonical 4: pads 2 phantoms with
+        # day-shifted offsets
+        g = [task(0), task(1)]
+        _phantom_pad(g, 4, stride)
+        assert len(g) == 4
+        assert all(t.get("phantom") for t in g[2:])
+        assert sorted(g[2]["rel_a"].values()) == \
+            [v + sa for v in sorted(g[1]["rel_a"].values())]
+
+        # full group: no-op
+        g = [task(0), task(1)]
+        _phantom_pad(g, 2, stride)
+        assert len(g) == 2
+
+        # different span arrays (mixed pairs): untouched
+        other = np.zeros(4 * sa, np.float32)
+        g = [task(0), task(1, data_a=other)]
+        _phantom_pad(g, 4, stride)
+        assert len(g) == 2
+
+        # non-periodic offsets (sparse resume): untouched
+        g = [task(0), task(2)]
+        _phantom_pad(g, 4, stride)
+        assert len(g) == 2
+
+        # no room in the grid (union not canonically extended):
+        # all-or-nothing — zero phantoms, not a partial pad
+        g = [task(0), task(1, need=2 * sa + 600)]
+        # make BOTH tasks share the short grid so periodicity holds
+        g[0]["need_a"] = g[0]["need_b"] = 2 * sa + 600
+        _phantom_pad(g, 4, stride)
+        assert len(g) == 2
+
     def test_device_process_wire_packed(self, monkeypatch):
         """With the int16 wire codec forced on, the engine's readback
         decodes into CCFs within the codec's quantization bound of the
