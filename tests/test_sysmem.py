@@ -8,6 +8,8 @@ locations so the persistent cache key survives caller-side line shifts
 (the Mosaic kernel payload embeds locations strip-debuginfo can't
 reach).
 """
+import os
+
 import jax
 
 from xcorr_tpu.util import sysmem
@@ -32,7 +34,12 @@ def test_persistent_cache_sets_flags(monkeypatch, tmp_path):
     try:
         monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path))
         assert sysmem.enable_persistent_compile_cache() is True
-        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        # the dir is scoped by the jax+jaxlib build: AOT entries embed
+        # the compiling build's LLVM target features and the cache key
+        # does not cover the build (see sysmem docstring)
+        got = jax.config.jax_compilation_cache_dir
+        assert os.path.dirname(got) == str(tmp_path)
+        assert jax.__version__ in os.path.basename(got)
         # single-frame locations: caller-side line shifts must not
         # rotate the persistent cache key (see sysmem docstring)
         assert jax.config.jax_include_full_tracebacks_in_locations \
