@@ -580,7 +580,7 @@ def measure_e2e(small):
         return out
 
 
-def measure_mesh8(ndays=2, fs=12.5):
+def measure_mesh8(ndays=2, fs=6.25):
     """Host-cost RATIO of feeding an 8-device mesh vs a single device
     (VERDICT r3 ask #4): the bench e2e campaign runs twice on the cpu
     platform — mesh=None and mesh=make_mesh(8) over the virtual 8-CPU
@@ -590,13 +590,15 @@ def measure_mesh8(ndays=2, fs=12.5):
     the REAL e2e campaign's measured 50 Hz host cost into the v5e-8
     projection clamp (orchestrator derive()).
 
-    Runs at a reduced sampling rate: day-scale shard programs on ONE
-    core reach XLA:CPU's cross-device collectives minutes apart, and
-    its 40 s rendezvous timeout ABORTS the process (measured: all-to-
-    all F-check SIGABRT at fs=50). Host cost structure (fetch /
-    canonicalize / launch assembly per pair-day) is what's measured;
-    the ratio is byte-scale-invariant. Runs as its own --section child
-    on the cpu platform, so it lands even when the tunnel is down."""
+    Runs at a reduced sampling rate: XLA:CPU's cross-device collective
+    rendezvous ABORTS the process (F-check SIGABRT) unless all 8
+    participants arrive within 40 s, and ONE core runs the shard
+    programs sequentially — so the per-shard segment before any
+    collective must stay well under 40/8 s (fs=50 aborted always,
+    fs=12.5 intermittently). Host cost structure (fetch / canonicalize
+    / launch assembly per pair-day) is what's measured; the ratio is
+    byte-scale-invariant. Runs as its own --section child on the cpu
+    platform, so it lands even when the tunnel is down."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", False)
@@ -903,10 +905,16 @@ class _Orchestrator:
                     pass
         rec = {"status": status, "wall_s": round(time.time() - t0, 1)}
         if status != "ok":
-            # the last non-marker lines are the child's dying words
-            # (exception traceback tail) — keep a bounded excerpt
+            # the child's dying words: F/fatal lines carry the actual
+            # abort reason (e.g. XLA collective rendezvous timeouts);
+            # plus a bounded tail of everything else
             lines = [ln for ln in (out_text or "").splitlines()
                      if not ln.startswith(_MARK)]
+            fatal = [ln for ln in lines
+                     if ln[:1] == "F" or "Check failure" in ln
+                     or "Error" in ln]
+            if fatal:
+                rec["fatal"] = " | ".join(fatal[-3:])[-600:]
             if lines:
                 rec["tail"] = " | ".join(lines[-3:])[-400:]
         self.sections[name] = rec
