@@ -1,0 +1,76 @@
+"""The benchmark orchestrator must emit its single-line JSON artifact
+on EVERY exit path (round-3 postmortem: BENCH_r03.json was rc=124 with
+no parseable output — one tunnel stall lost the whole round's numbers).
+
+These tests drive bench.py as the driver does — a subprocess — on the
+cpu platform (XCORR_BENCH_PLATFORM pins the children; the axon plugin
+ignores JAX_PLATFORMS)."""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _env(**extra):
+    env = dict(os.environ)
+    env.update(XCORR_BENCH_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    env.update(extra)
+    return env
+
+
+def _last_json(text):
+    for line in reversed(text.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON artifact line in output:\n{text[-800:]}")
+
+
+def test_small_run_emits_artifact():
+    """A full small-mode run completes and carries the kernel headline
+    + per-section flight recorder."""
+    r = subprocess.run(
+        [sys.executable, BENCH, "--small"], env=_env(
+            XCORR_BENCH_DEADLINE="420"),
+        capture_output=True, text=True, timeout=480)
+    art = _last_json(r.stdout)
+    assert art["unit"] == "pair-days/s"
+    assert art["value"] and art["value"] > 0
+    assert art["sections"]["kernel"]["status"] == "ok"
+    assert art["ms_per_batch"]["runs"]
+
+
+def test_sigterm_mid_run_still_emits():
+    """The driver's `timeout` sends SIGTERM: the orchestrator must
+    print the partial artifact (with whatever sections completed) and
+    exit instead of dying silently."""
+    p = subprocess.Popen(
+        [sys.executable, BENCH, "--small"], env=_env(),
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    time.sleep(10)  # inside the probe/first sections
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=60)
+    art = _last_json(out)
+    assert "terminated by signal" in art.get("error", "")
+    assert art["metric"].startswith("CCF")
+
+
+def test_deadline_emits_partial():
+    """An overall deadline far shorter than the run yields a partial
+    artifact (alarm backstop), not a hang or empty output. 8 s is
+    shorter than the probe section alone (>=10 s of jax import +
+    backend init), so the run can never finish first."""
+    r = subprocess.run(
+        [sys.executable, BENCH, "--small"],
+        env=_env(XCORR_BENCH_DEADLINE="8"),
+        capture_output=True, text=True, timeout=120)
+    art = _last_json(r.stdout)
+    assert "signal 14" in art.get("error", "")  # SIGALRM backstop
+    assert art["elapsed_s"] <= 15
