@@ -46,6 +46,7 @@ constants for free.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -56,7 +57,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["plan_fused_stageb", "plan_fused_corr", "fused_available"]
 
-ROWS = 8  # sublane-tile rows per block
+# sublane-tile rows per block. 8 = one native sublane tile; 16 halves
+# the grid-step count (overridable via XCORR_PALLAS_ROWS — round-1's
+# ROWS=16 compile failure was the default 16 MB scoped-VMEM budget,
+# lifted below via CompilerParams). Same-session A/B (v5e-1, day
+# scale, bit-identical outputs — the math is row-local): ROWS=16 wins
+# +1.9% at B=16 (15.74 vs 16.04 ms/batch), is a WASH at B=80
+# (70.89 vs 70.87 — per-step overhead amortizes at saturated batch),
+# and ROWS=32 loses (17.88; half rounds up to 288 rows = +6% compute).
+# Default stays 8: the headline runs at B=80.
+ROWS = int(os.environ.get("XCORR_PALLAS_ROWS", "8"))
+
+#: scoped-VMEM budget for the fused kernels (v5e has 128 MB; the
+#: default 16 MB rejects larger block geometries)
+_VMEM_LIMIT = int(os.environ.get("XCORR_PALLAS_VMEM_MB", "64")) << 20
 
 
 def _split_pq_pallas(n2: int):
@@ -348,6 +362,8 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
                 in_specs=[data_spec] * n_data + const_specs,
                 out_specs=(data_spec, data_spec),
                 out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT),
             )(*arrays, *all_consts)
         return run
 
@@ -367,6 +383,8 @@ def _geometry(N1: int, N2: int, N: int, precision: str):
                 in_specs=[pdata_spec] * n_data + const_specs,
                 out_specs=pdata_spec,
                 out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT),
             )(*arrays, *all_consts)
         return run
 
