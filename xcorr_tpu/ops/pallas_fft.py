@@ -65,7 +65,8 @@ __all__ = ["plan_fused_stageb", "plan_fused_corr", "fused_available"]
 # +1.9% at B=16 (15.74 vs 16.04 ms/batch), is a WASH at B=80
 # (70.89 vs 70.87 — per-step overhead amortizes at saturated batch),
 # and ROWS=32 loses (17.88; half rounds up to 288 rows = +6% compute).
-# Default stays 8: the headline runs at B=80.
+# Already a wash by B=32 (30.40 vs 30.36 — the engine's launch size).
+# Default stays 8: no production batch benefits.
 ROWS = int(os.environ.get("XCORR_PALLAS_ROWS", "8"))
 
 #: scoped-VMEM budget for the fused kernels (v5e has 128 MB; the
