@@ -284,11 +284,16 @@ def _quantization_err(root_test, root_ref, pair, day):
     if not ok.any():
         return None
     a, b = cc_t[ok], cc_r[ok]
-    max_abs = float(np.nanmax(np.abs(a - b)))
-    denom = float(np.nanmax(np.abs(b)))
+    with np.errstate(all="ignore"):
+        max_abs = float(np.nanmax(np.abs(a - b)))
+        denom = float(np.nanmax(np.abs(b)))
+    if not np.isfinite(max_abs):
+        # all overlapping rows decoded non-finite (corrupt-row wire
+        # semantics): never let NaN tokens into the JSON artifact
+        return {"error": "all compared values non-finite"}
     return {"max_abs": round(max_abs, 9),
-            "max_rel_vs_peak": round(max_abs / denom, 9) if denom
-            else None}
+            "max_rel_vs_peak": round(max_abs / denom, 9)
+            if denom and np.isfinite(denom) else None}
 
 
 def measure_e2e(small):
@@ -477,8 +482,13 @@ def measure_e2e(small):
             # to thread pools (their CPU lands on pool threads, not the
             # timed one) — they run serially BEFORE any device work, so
             # the whole-process CPU delta is their true cost.
+            # The streamed scatter nests 'bookkeeping' INSIDE
+            # 'device-readback' walls: subtract only the WIRE part of
+            # the readback (a PCIe host still pays the scatter).
             host_cpu = _host_cpu(stages)
-            sec_pcie = max(wall - readback - tail, host_cpu) / (
+            bk = stages.get("bookkeeping", {}).get("wall_s", 0.0)
+            readback_wire = max(readback - bk, 0.0)
+            sec_pcie = max(wall - readback_wire - tail, host_cpu) / (
                 ndays * pair_day)
             out["host_cpu_s_per_pair_day"] = round(
                 host_cpu / (ndays * pair_day), 3)
@@ -548,10 +558,11 @@ def measure_e2e(small):
                 fstages = fast_timer.as_dict()
                 frb = fstages.get("device-readback",
                                   {}).get("wall_s", 0.0)
+                fbk = fstages.get("bookkeeping", {}).get("wall_s", 0.0)
                 fcpu = _host_cpu(fstages)
                 fsec = fast_wall / (ndays * pair_day)
-                fpcie = max(fast_wall - frb - fast_tail, fcpu) / (
-                    ndays * pair_day)
+                fpcie = max(fast_wall - max(frb - fbk, 0.0) - fast_tail,
+                            fcpu) / (ndays * pair_day)
                 out["fast_storage"] = {
                     "config": "pack_cc=True complevel=0 "
                               "(xcorr-cc --pack-cc --complevel 0)",
@@ -706,6 +717,24 @@ def _section_sweep(small):
         _mark({"b_sweep_ms_per_window": dict(sweep)})
 
 
+def _host_id():
+    """Coarse host fingerprint for the reference-constant cache: the
+    constant is a property of this machine's single-core numpy speed,
+    so a cache entry from another host must not be reused (it would
+    silently skew vs_baseline)."""
+    import platform
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except Exception:
+        pass
+    return f"{platform.node()}/{os.cpu_count()}/{model}"
+
+
 def _section_reference(small):
     n, _, imin, imax, _ = _geometry(small)
     t_ref = measure_reference(n, imin, imax)
@@ -714,7 +743,7 @@ def _section_reference(small):
         try:
             os.makedirs(os.path.dirname(_REF_CACHE), exist_ok=True)
             with open(_REF_CACHE, "w") as f:
-                json.dump({"t_ref_s": t_ref, "n": n,
+                json.dump({"t_ref_s": t_ref, "n": n, "host": _host_id(),
                            "note": "reference numpy-fft window cost, "
                                    "one host core (xcorr/util/cc.py "
                                    "formula); measured once per host"},
@@ -837,7 +866,19 @@ class _Orchestrator:
         def bail(signum, frame):
             if self.child is not None:
                 try:
+                    # recover the markers the in-flight child already
+                    # streamed before discarding it — a deadline/TERM
+                    # mid-section must still cost only the unfinished
+                    # part of that section, not its whole output
                     self.child.kill()
+                    out, _ = self.child.communicate(timeout=5)
+                    for line in (out or "").splitlines():
+                        if line.startswith(_MARK):
+                            try:
+                                self.merge(json.loads(
+                                    line[len(_MARK):]))
+                            except Exception:
+                                pass
                 except Exception:
                     pass
             self.artifact.setdefault(
@@ -864,6 +905,10 @@ class _Orchestrator:
         """Run ``bench.py --section name`` as a child with a hard
         timeout; merge every @@BENCH@@ marker it printed (also the
         partial ones of a timed-out child). Records per-section status."""
+        # never grant more than the overall deadline has left (section
+        # floor budgets could otherwise overrun it, leaving the alarm
+        # backstop to kill the child uncollected)
+        budget = min(budget, self.remaining() - 15)
         if budget <= 5:
             self.sections[name] = {"status": "skipped",
                                    "reason": "no budget left"}
@@ -954,7 +999,8 @@ class _Orchestrator:
                     ref = json.load(f)
             except Exception:
                 ref = None
-        if ref and ref.get("n") == _geometry(small)[0]:
+        if (ref and ref.get("n") == _geometry(small)[0]
+                and ref.get("host") == _host_id()):
             self.merge({"t_ref_s": ref["t_ref_s"]})
             self.sections["reference"] = {"status": "cached"}
         else:

@@ -118,6 +118,12 @@ def test_plot_ccfs_spectrogram_variants():
     gs = xplot.plot_ccfs(both, spectrogram=True, spectrogram_kwargs=sk)
     # 2 cc axes + 2 spectrogram axes + colorbar
     assert len(gs.figure.axes) == 5
+    # panels share ONE colorbar, so they must share color limits
+    # (identical colors = identical dB in every pair)
+    clims = {m.get_clim() for ax in gs.figure.axes
+             for m in ax.collections if hasattr(m, "get_clim")}
+    clims.discard((None, None))  # scalar-less collections (cc lines)
+    assert len(clims) == 1, clims
     plt.close("all")
     gs = xplot.plot_ccfs(both, spectrogram=True, spectrogram_cwt=True)
     assert len(gs.figure.axes) == 5

@@ -165,17 +165,10 @@ def plot_ccf(ds, distance=None, pair=0, time=0, normalize: bool = False,
     return gs
 
 
-def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
-                       spectrogram_cwt, spectrogram_db,
-                       spectrogram_contourf, spectrogram_kwargs,
-                       spectrogram_plot_kwargs):
-    """Draw one window's spectrogram (or wavelet scaleogram) into
-    ``ax``; returns the mesh for the caller's colorbar. Shared by
-    :func:`plot_ccf` (reference parity, ``xcorr/core/plot.py:198-225``)
-    and :func:`plot_ccfs`'s per-pair panel variant (no reference
-    analog)."""
-    from matplotlib.ticker import AutoMinorLocator
-
+def _spectrogram_data(cc, time, normalize, spectrogram_cwt,
+                      spectrogram_db, spectrogram_kwargs):
+    """One window's spectrogram (or scaleogram) values in final
+    (possibly dB) units, plus the labelled result for its coords."""
     one = cc
     if "time" in one.dims:
         one = one.isel(time=int(time))
@@ -190,8 +183,30 @@ def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
         pv = pv / np.nanmax(pv)
     if spectrogram_db:
         pv = 10 * np.log10(np.where(pv > 0, pv, np.nan))
-    vmax = np.nanmax(pv) if spectrogram_db else 0.8 * np.nanmax(pv)
-    vmin = vmax - 30 if spectrogram_db else 0.0
+    return p, pv
+
+
+def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
+                       spectrogram_cwt, spectrogram_db,
+                       spectrogram_contourf, spectrogram_kwargs,
+                       spectrogram_plot_kwargs, data=None, clim=None):
+    """Draw one window's spectrogram (or wavelet scaleogram) into
+    ``ax``; returns the mesh for the caller's colorbar. Shared by
+    :func:`plot_ccf` (reference parity, ``xcorr/core/plot.py:198-225``)
+    and :func:`plot_ccfs`'s per-pair panel variant (no reference
+    analog). ``clim`` overrides the per-panel color limits — panels
+    sharing one colorbar must share limits, or identical colors mean
+    different values across panels."""
+    from matplotlib.ticker import AutoMinorLocator
+
+    p, pv = data if data is not None else _spectrogram_data(
+        cc, time, normalize, spectrogram_cwt, spectrogram_db,
+        spectrogram_kwargs)
+    if clim is not None:
+        vmin, vmax = clim
+    else:
+        vmax = np.nanmax(pv) if spectrogram_db else 0.8 * np.nanmax(pv)
+        vmin = vmax - 30 if spectrogram_db else 0.0
     freq = np.asarray(p.coords["freq"].values)
     # spectrogram dims are (freq, lag) or (lag, freq); align to (freq, lag)
     if pv.shape[0] != freq.size:
@@ -272,8 +287,17 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
         constrained_layout=True,
         figsize=kwargs.pop("figsize",
                            (10 if spectrogram else 7, len(pairs) + 1)))
+    clim, sdatas = None, None
     if spectrogram:
         gs = GridSpec(len(pairs), 2, figure=fig, width_ratios=(3, 2))
+        # COMMON color limits across panels: they share one colorbar,
+        # so identical colors must mean identical values in every pair
+        sdatas = [_spectrogram_data(
+            _isel_pair(cc, p), time, normalize, spectrogram_cwt,
+            spectrogram_db, spectrogram_kwargs) for p in pairs]
+        gmax = np.nanmax([np.nanmax(pv) for _, pv in sdatas])
+        vmax = gmax if spectrogram_db else 0.8 * gmax
+        clim = (vmax - 30 if spectrogram_db else 0.0, vmax)
     else:
         gs = GridSpec(len(pairs), 1, figure=fig)
     cc_plot_kwargs = {"color": "k", "alpha": 0.25, "lw": 0.7,
@@ -319,7 +343,8 @@ def plot_ccfs(ds, distance=None, normalize: bool = False, pairs=None,
             mesh = _spectrogram_panel(
                 axp, sel, time, normalize, lag_lim, freq_lim,
                 spectrogram_cwt, spectrogram_db, spectrogram_contourf,
-                spectrogram_kwargs, spectrogram_plot_kwargs)
+                spectrogram_kwargs, spectrogram_plot_kwargs,
+                data=sdatas[i], clim=clim)
             if i != len(pairs) - 1:
                 axp.set_xlabel(None)
                 axp.tick_params(labelbottom=False)

@@ -84,18 +84,24 @@ def init_compute(args, workload: str = "correlate"):
     # first backend use; lazy_process then auto-detects the formation
     # and takes this host's slice of the campaign.
     distributed = False
-    if (getattr(args, "coordinator", None)
-            or getattr(args, "num_processes", None)
-            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+    coord = getattr(args, "coordinator", None) or \
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = getattr(args, "num_processes", None)
+    pid = getattr(args, "process_id", None)
+    if coord:
         from ..parallel.distributed import initialize
-        distributed = initialize(
-            coordinator_address=getattr(args, "coordinator", None),
-            num_processes=getattr(args, "num_processes", None),
-            process_id=getattr(args, "process_id", None))
+        distributed = initialize(coordinator_address=coord,
+                                 num_processes=nproc, process_id=pid)
         if distributed:
             import jax
             logging.info("joined multi-host formation: process %d/%d",
                          jax.process_index(), jax.process_count())
+    elif nproc is not None or pid is not None:
+        # fail loudly instead of letting jax.distributed.initialize
+        # probe metadata services with no coordinator to find
+        raise SystemExit(
+            "--num-processes/--process-id require --coordinator "
+            "(or JAX_COORDINATOR_ADDRESS)")
     return {"nworkers": n, "distributed": distributed}
 
 

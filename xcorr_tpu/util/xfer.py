@@ -461,14 +461,22 @@ def device_fetch(arr, out: np.ndarray = None, row_done=None) -> np.ndarray:
     # tunnel); copy_to_host_async starts the wire transfer so one chunk
     # is in flight while the previous lands in ``out``
     pend = []
+    # under XCORR_WIRE_SERIALIZE=1 the whole chunk loop holds the wire
+    # lock — arbitrary row_done work (engine scatter, shard-write
+    # handoff) must NOT run under it, or h2d ships stall on host
+    # bookkeeping CPU instead of wire time; fire one final callback
+    # after release instead (streaming is an overlap optimization, and
+    # serialize mode exists to forbid overlap)
+    serialize = _serialize_wire()
+    stream_cb = None if serialize else row_done
 
     def drain():
         i0, n0, s0 = pend.pop(0)
         out[i0:i0 + n0] = np.asarray(s0)
-        if row_done is not None:
-            row_done(out, i0 + n0)
+        if stream_cb is not None:
+            stream_cb(out, i0 + n0)
 
-    with _WIRE_LOCK if _serialize_wire() else nullcontext():
+    with _WIRE_LOCK if serialize else nullcontext():
         for i in range(0, rows, r):
             n = min(r, rows - i)
             s = _row_slice(arr, i, n)
@@ -481,6 +489,8 @@ def device_fetch(arr, out: np.ndarray = None, row_done=None) -> np.ndarray:
                 drain()
         while pend:
             drain()
+    if serialize and row_done is not None:
+        row_done(out, rows)
     return out
 
 
