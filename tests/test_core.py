@@ -185,6 +185,43 @@ class TestRoundtripAndPostprocess:
             root=root, nworkers=1, verb=0)
         assert all(results2)
 
+    def test_lazy_device_tail_chunk_campaign_and_resume(self, tmp_path):
+        """A device campaign whose last chunk is ragged (3 days,
+        days_per_launch=2) completes through the canonical tail padding
+        AND resumes correctly: a partial TAIL shard (the phantom-pad
+        guards must decline the shifted work subset) reprocesses only
+        its pending windows and matches the original data."""
+        import h5py
+
+        root = str(tmp_path / "cc")
+        times = pd.date_range("2014-01-01", periods=3, freq="1D")
+        init_args = dict(
+            preprocess=PREPROCESS, attrs=ATTRS, sampling_rate=FS,
+            window_length=WINDOW, window_overlap=0.5,
+            clip_lag=(-100.0, 100.0), inventory=make_inventory())
+        client = make_client()
+        results = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, engine="device", days_per_launch=2, verb=0)
+        assert all(results), results
+        f_tail = xcorr_tpu.ncfile(PAIR, times[2], root)
+        before = xcorr_tpu.read(f_tail)
+        assert (before["status"].values == 1).all()
+        cc_before = before["cc"].values.copy()
+        # knock two tail windows back to pending
+        with h5py.File(f_tail, "r+") as h:
+            st = h["status"][...]
+            st[0, 5:7] = 0
+            h["status"][...] = st
+        results = xcorr_tpu.lazy_process(
+            [PAIR], times, init_args, client, inventory=make_inventory(),
+            root=root, engine="device", days_per_launch=2, verb=0)
+        assert all(results), results
+        after = xcorr_tpu.read(f_tail)
+        assert (after["status"].values == 1).all()
+        np.testing.assert_allclose(after["cc"].values, cc_before,
+                                   rtol=2e-6, atol=1e-7)
+
     def test_lazy_resume_partial_shard_keeps_data(self, tmp_path,
                                                   monkeypatch):
         """Resume of a PARTIAL shard must re-read real payloads: the
