@@ -190,6 +190,20 @@ def measure_reference(n, imin, imax):
     return time.time() - t0
 
 
+def _pcie_host_seconds_per_pair_day(wall, stages, tail, ndays,
+                                    pair_day):
+    """PCIe-host steady-state projection input: measured wall minus the
+    tunnel-only wire wait, clamped from below by the contention-free
+    host CPU. The streamed scatter nests 'bookkeeping' walls INSIDE
+    'device-readback', so only the wire part of the readback is
+    subtracted (a PCIe host still pays the scatter)."""
+    readback = stages.get("device-readback", {}).get("wall_s", 0.0)
+    bk = stages.get("bookkeeping", {}).get("wall_s", 0.0)
+    wire = max(readback - bk, 0.0)
+    return max(wall - wire - tail, _host_cpu(stages)) / (
+        ndays * pair_day)
+
+
 def _host_cpu(stages):
     """Contention-free host CPU of the serial campaign chain: thread
     CPU per stage, process CPU for the pooled preflight stages (which
@@ -482,16 +496,10 @@ def measure_e2e(small):
             # to thread pools (their CPU lands on pool threads, not the
             # timed one) — they run serially BEFORE any device work, so
             # the whole-process CPU delta is their true cost.
-            # The streamed scatter nests 'bookkeeping' INSIDE
-            # 'device-readback' walls: subtract only the WIRE part of
-            # the readback (a PCIe host still pays the scatter).
-            host_cpu = _host_cpu(stages)
-            bk = stages.get("bookkeeping", {}).get("wall_s", 0.0)
-            readback_wire = max(readback - bk, 0.0)
-            sec_pcie = max(wall - readback_wire - tail, host_cpu) / (
-                ndays * pair_day)
+            sec_pcie = _pcie_host_seconds_per_pair_day(
+                wall, stages, tail, ndays, pair_day)
             out["host_cpu_s_per_pair_day"] = round(
-                host_cpu / (ndays * pair_day), 3)
+                _host_cpu(stages) / (ndays * pair_day), 3)
             out["projected_pair_year_s_v5e8_pcie_host"] = round(
                 sec_pcie * 366 / 8 + tail, 1)
         _mark({"e2e": dict(out)})
@@ -556,13 +564,9 @@ def measure_e2e(small):
                 if last_rb else 0.0
             if all(results):
                 fstages = fast_timer.as_dict()
-                frb = fstages.get("device-readback",
-                                  {}).get("wall_s", 0.0)
-                fbk = fstages.get("bookkeeping", {}).get("wall_s", 0.0)
-                fcpu = _host_cpu(fstages)
                 fsec = fast_wall / (ndays * pair_day)
-                fpcie = max(fast_wall - max(frb - fbk, 0.0) - fast_tail,
-                            fcpu) / (ndays * pair_day)
+                fpcie = _pcie_host_seconds_per_pair_day(
+                    fast_wall, fstages, fast_tail, ndays, pair_day)
                 out["fast_storage"] = {
                     "config": "pack_cc=True complevel=0 "
                               "(xcorr-cc --pack-cc --complevel 0)",

@@ -416,14 +416,17 @@ def _phantom_pad(group, canonical_days: int, stride_s: float):
     sa = int(round(stride_s * last["fs_a"]))
     sb = int(round(stride_s * last["fs_b"]))
 
-    def offs(t, side):
-        return sorted(t[f"rel_{side}"][k] for k in t["good"])
+    def offs(t):
+        return (sorted(t["rel_a"][k] for k in t["good"]),
+                sorted(t["rel_b"][k] for k in t["good"]))
 
-    for prev, cur in zip(group, group[1:]):
+    offsets = [offs(t) for t in group]
+    for prev, cur, (pa, pb), (ca, cb) in zip(group, group[1:],
+                                             offsets, offsets[1:]):
         if (id(cur["data_a"]) != id(prev["data_a"])
                 or id(cur["data_b"]) != id(prev["data_b"])
-                or offs(cur, "a") != [v + sa for v in offs(prev, "a")]
-                or offs(cur, "b") != [v + sb for v in offs(prev, "b")]):
+                or ca != [v + sa for v in pa]
+                or cb != [v + sb for v in pb]):
             return
     phantoms = []
     for j in range(1, canonical_days - n + 1):
