@@ -862,7 +862,46 @@ class _Orchestrator:
         self.artifact["sections"] = self.sections
         self.artifact["elapsed_s"] = round(time.time() - self.t0, 1)
         self.write_partial()
+        # full artifact first (humans / logs), COMPACT line LAST: the
+        # driver records only a 2000-char stdout tail and parses the
+        # final line — round 4's ~4 KB single line lost its head and
+        # parsed as null (VERDICT r4 ask #1). Keep the last line <1 KB.
         print(json.dumps(self.artifact), flush=True)
+        print(json.dumps(self.compact()), flush=True)
+
+    def compact(self):
+        """<1 KB summary carrying the driver schema + headline numbers;
+        full detail lives in benchmarks/bench_partial.json."""
+        a = self.artifact
+        e2e = a.get("e2e") if isinstance(a.get("e2e"), dict) else {}
+        fast = e2e.get("fast_storage") or {}
+        ok = sum(1 for s in self.sections.values()
+                 if s.get("status") == "ok")
+        comp = {
+            "metric": a.get("metric"), "value": a.get("value"),
+            "unit": a.get("unit"), "vs_baseline": a.get("vs_baseline"),
+            "roofline_pct": a.get("roofline_pct"),
+            "ms_per_batch_min": (a.get("ms_per_batch") or {}).get("min"),
+            "e2e_s_per_pair_day": e2e.get("s_per_pair_day"),
+            "fast_storage_s_per_pair_day": fast.get("s_per_pair_day"),
+            "pcie_pair_year_s": e2e.get(
+                "projected_pair_year_s_v5e8_pcie_host"),
+            "mesh8_host_cost_ratio": e2e.get("mesh8_host_cost_ratio"),
+            "codec_off_parity_max_abs": e2e.get(
+                "codec_off_parity_max_abs"),
+            "sections_ok": f"{ok}/{len(self.sections)}",
+            "elapsed_s": a.get("elapsed_s"),
+            "detail": "benchmarks/bench_partial.json",
+        }
+        if a.get("error"):
+            comp["error"] = str(a["error"])[:300]
+        comp = {k: v for k, v in comp.items() if v is not None}
+        line = json.dumps(comp)
+        if len(line) > 1000:  # belt-and-braces: never outgrow the tail
+            for k in ("detail", "codec_off_parity_max_abs",
+                      "mesh8_host_cost_ratio", "ms_per_batch_min"):
+                comp.pop(k, None)
+        return comp
 
     # -- signals ----------------------------------------------------
 
