@@ -100,6 +100,38 @@ class TestSnrCtPipeline:
         assert "psd" in ds
         assert "freq" in ds["psd"].dims
 
+    def test_psd_period_files_with_snr(self, archive, tmp_path):
+        """Reference layout + content parity (xcorr/scripts/psd.py:66-100):
+        one file per (pair, period) at root/psd/pair/pair.yyyy.doy.hhh
+        .psd.nc carrying BOTH the trimmed psd and the period's snr."""
+        from xcorr_tpu.scripts import (snr as snr_script,
+                                       ct as ct_script,
+                                       psd as psd_script)
+        out_snr = str(tmp_path / "snr.nc")
+        rc = snr_script.main([
+            "2014-01-01", "2014-01-02", "--root", archive,
+            "--celerity", "1400", "90000000", "--filter-freq", "0.5",
+            "--out", out_snr, "--institution", "t", "--author", "t",
+            "--source", "t", "-n", "2"])
+        assert rc == 0
+        out_ct = str(tmp_path / "ct.nc")
+        rc = ct_script.main([out_snr, "--threshold", "0.0001",
+                             "--out", out_ct])
+        assert rc == 0
+        outdir = str(tmp_path / "out")
+        rc = psd_script.main([
+            out_ct, "--root", archive, "--outdir", outdir,
+            "--celerity", "1400", "90000000", "--filter-freq", "0.5",
+            "--duration", "10.0", "--padding-factor", "2",
+            "--fmax", "2.0", "--pair", PAIRS[0], "-n", "1"])
+        assert rc == 0
+        files = glob.glob(os.path.join(outdir, "psd", PAIRS[0],
+                                       PAIRS[0] + ".*.psd.nc"))
+        assert files, "no per-(pair,period) psd files written"
+        ds = xcorr_tpu.io.from_netcdf(files[0])
+        assert "psd" in ds and "snr" in ds
+        assert float(ds.coords["freq"].values.max()) <= 2.0
+
 
 class TestTimelapse:
     def test_timelapse_small(self, archive):

@@ -14,6 +14,7 @@ import argparse
 import os
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
 import pandas as pd
 
 from .. import io as xio
@@ -23,16 +24,19 @@ from ..io.filesystem import ncfile
 from ..signal.spectrogram import spectrogram
 from . import utils
 
-__all__ = ["psd_of_period", "main"]
+__all__ = ["psd_of_period", "iter_pair_psd", "period_ncfile", "main"]
 
 
-def psd_of_period(pairs, start, end, root, clim=(1460.0, 1500.0),
+def iter_pair_psd(pairs, start, end, root, clim=(1460.0, 1500.0),
                   duration: float = 2.5, padding_factor: int = 4,
-                  filter_kwargs: dict = None, **kwargs):
-    """PSD spectrogram dataset for one triggered period."""
+                  filter_kwargs: dict = None, snr=None,
+                  fmax: float = 20.0):
+    """Yield ``(pair, dataset)`` PSD spectrograms for one triggered
+    period, one dataset per pair (spec: ``xcorr/scripts/psd.py:42-78``
+    — psd trimmed to the usable band ``freq <= fmax`` and the period's
+    ``snr`` merged into every pair dataset)."""
     days = pd.date_range(pd.Timestamp(start).normalize(),
                          pd.Timestamp(end).normalize(), freq="1D")
-    out = []
     for pair in pairs:
         files = [ncfile(pair, d, root) for d in days]
         files = [f for f in files if os.path.exists(f)]
@@ -46,13 +50,40 @@ def psd_of_period(pairs, start, end, root, clim=(1460.0, 1500.0),
             continue
         psd = spectrogram(ds["cc"], duration=duration,
                           padding_factor=padding_factor)
+        if fmax is not None:
+            psd = psd.where(psd.coords["freq"] <= fmax, drop=True)
         psd_ds = ndlabel.Dataset(attrs=dict(ds.attrs))
         psd_ds["psd"] = psd
         psd_ds["distance"] = ds["distance"]
-        out.append(psd_ds)
+        if snr is not None:
+            try:
+                s = snr.sel(pair=[pair])
+                t0 = np.datetime64(pd.Timestamp(start))
+                t1 = np.datetime64(pd.Timestamp(end))
+                s = s.where((s.coords["time"] >= t0) & (s.coords["time"] <= t1),
+                            drop=True)
+                psd_ds["snr"] = s
+            except (KeyError, ValueError):
+                pass
+        yield pair, psd_ds
+
+
+def psd_of_period(pairs, start, end, root, **kwargs):
+    """All pairs' PSD spectrograms of one period, concatenated."""
+    out = [ds for _, ds in iter_pair_psd(pairs, start, end, root,
+                                         **kwargs)]
     if not out:
         return None
     return ndlabel.concat(out, "pair") if len(out) > 1 else out[0]
+
+
+def period_ncfile(pair: str, start, ndays: float, root: str) -> str:
+    """``root/psd/pair/pair.yyyy.doy.hhh.psd.nc`` (ref
+    ``xcorr/scripts/psd.py:81-100``)."""
+    start = pd.Timestamp(start)
+    name = "{p}.{y:04d}.{d:03d}.{h:03d}.psd.nc".format(
+        p=pair, y=start.year, d=start.dayofyear, h=int(ndays * 24))
+    return os.path.join(root, "psd", pair, name)
 
 
 def main(argv=None):
@@ -72,7 +103,13 @@ def main(argv=None):
     parser.add_argument("--filter-freq", metavar="..", type=float,
                         default=3.0,
                         help="Postprocess highpass corner (Hz)")
-    parser.add_argument("--outdir", metavar="..", type=str, default=".")
+    parser.add_argument("--fmax", metavar="..", type=float, default=20.0,
+                        help="Trim spectrogram to freq <= fmax (Hz); "
+                             "the usable band below Nyquist "
+                             "(ref psd.py:66-68)")
+    parser.add_argument("--outdir", metavar="..", type=str, default=".",
+                        help="Output root: files land at "
+                             "outdir/psd/pair/pair.yyyy.doy.hhh.psd.nc")
     utils.add_common_arguments(parser)
     args = parser.parse_args(argv)
 
@@ -87,29 +124,35 @@ def main(argv=None):
     pairs = args.pair or [str(p) for p in
                           ct_ds.coords["pair"].values.tolist()]
 
+    snr = ct_ds["snr"] if "snr" in ct_ds else None
+    if snr is None:
+        log.warning("no 'snr' variable in %s; period files will not "
+                    "carry snr", args.ct)
+
     def run(idx_row):
         idx, row = idx_row
-        ds = psd_of_period(pairs, row["start"], row["end"], args.root,
-                           clim=tuple(args.celerity),
-                           duration=args.duration,
-                           padding_factor=args.padding_factor,
-                           filter_kwargs={
-                               "frequency": args.filter_freq,
-                               "btype": "highpass", "order": 2})
-        if ds is None:
-            return None
-        out = os.path.join(
-            args.outdir,
-            utils.ncfile_name("psd", row["start"], row["end"],
-                              args.suffix))
-        xio.write(ds, out, verb=0, force_write=True)
-        return out
+        start, end = row["start"], row["end"]
+        ndays = (pd.Timestamp(end) - pd.Timestamp(start)) / pd.Timedelta(
+            days=1)
+        outs = []
+        for pair, ds in iter_pair_psd(
+                pairs, start, end, args.root,
+                clim=tuple(args.celerity), duration=args.duration,
+                padding_factor=args.padding_factor, snr=snr,
+                fmax=args.fmax,
+                filter_kwargs={"frequency": args.filter_freq,
+                               "btype": "highpass", "order": 2}):
+            out = period_ncfile(pair, start, ndays, args.outdir)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            xio.write(ds, out, verb=0, force_write=True)
+            outs.append(out)
+        return outs
 
     with ThreadPoolExecutor(max_workers=cfg["nworkers"]) as ex:
-        outs = list(ex.map(run, periods.iterrows()))
+        outs = [o for sub in ex.map(run, periods.iterrows())
+                for o in (sub or [])]
     for o in outs:
-        if o:
-            log.info("wrote %s", o)
+        log.info("wrote %s", o)
     return 0
 
 
