@@ -772,6 +772,46 @@ class TestDeviceEngine:
                                    full[0]["cc"].values,
                                    rtol=2e-6, atol=1e-7)
 
+    def test_canonical_prefix_gate(self):
+        """Union-grid extension engages only for canonical-chunk
+        prefixes: uniform-stride, equal-length spans; sparse resumes
+        and mixed cadences stay on the raw union grid (advisor r4)."""
+        from xcorr_tpu.parallel.engine import _canonical_prefix
+        H = int(3600e9)
+        day = lambda i: (i * H, i * H + 2 * H)  # 2h spans, 1h stride
+        # contiguous prefix (1..canonical_days spans) -> extend
+        assert _canonical_prefix({day(0)}, 4, 3600.0)
+        assert _canonical_prefix({day(0), day(1), day(2)}, 4, 3600.0)
+        assert _canonical_prefix({day(0), day(1), day(2), day(3)},
+                                 4, 3600.0)
+        # sparse resume (gap of 2 strides) -> raw grid
+        assert not _canonical_prefix({day(0), day(2)}, 4, 3600.0)
+        # unequal span lengths -> raw grid
+        assert not _canonical_prefix({day(0), (H, H + 3 * H)}, 4, 3600.0)
+        # more spans than the canonical chunk -> raw grid
+        assert not _canonical_prefix({day(i) for i in range(5)},
+                                     4, 3600.0)
+
+    def test_lazy_modal_stride_irregular_cadence(self):
+        """lazy_process on a mostly-weekly + one-daily campaign infers
+        the MODAL stride, not the minimum (advisor r4): the campaign
+        still completes with correct status."""
+        import xcorr_tpu
+        times = pd.DatetimeIndex(
+            [pd.Timestamp("2014-01-01"), pd.Timestamp("2014-01-08"),
+             pd.Timestamp("2014-01-15"), pd.Timestamp("2014-01-16")])
+        import tempfile
+        with tempfile.TemporaryDirectory() as root:
+            res = xcorr_tpu.lazy_process(
+                [PAIR], times,
+                dict(preprocess=PREPROCESS, attrs=ATTRS,
+                     sampling_rate=FS, window_length=WINDOW,
+                     window_overlap=0.5, clip_lag=(-100.0, 100.0),
+                     inventory=make_inventory()),
+                make_client(), inventory=make_inventory(), root=root,
+                verb=0, engine="device", days_per_launch=3)
+            assert len(res) == 4 and all(res)
+
     def test_phantom_pad_guards(self):
         """_phantom_pad is all-or-nothing and strictly guarded: only
         day-periodic groups on shared span arrays with room in the

@@ -179,8 +179,17 @@ def _device_bulk_run(pair_days, init_args, client, inventory, root,
     # compiled executables instead of paying one fresh multi-minute
     # compile mid-campaign (engine._phantom_pad)
     utimes = sorted({t.value for _, t in pair_days})
-    stride_s = (min(b - a for a, b in zip(utimes, utimes[1:])) / 1e9
-                if len(utimes) > 1 else None)
+    if len(utimes) > 1:
+        # MODAL inter-day gap: with irregular cadence (say mostly
+        # weekly plus one daily pair) the minimum gap would undersize
+        # the canonical grid — every tail grid then zero-extends while
+        # the phantom guard declines it anyway (advisor r4)
+        gaps, counts = np.unique(
+            [b - a for a, b in zip(utimes, utimes[1:])],
+            return_counts=True)
+        stride_s = float(gaps[np.argmax(counts)]) / 1e9
+    else:
+        stride_s = None
     with ThreadPoolExecutor(max_workers=2) as writer:
         for chunk in chunks:
             try:

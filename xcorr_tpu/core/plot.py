@@ -216,7 +216,12 @@ def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
                                **(spectrogram_plot_kwargs or {})}
     lagv = np.asarray(p.coords["lag"].values)
     if spectrogram_contourf:
-        spectrogram_plot_kwargs.setdefault("levels", 15)
+        # an integer levels default would derive contour values from
+        # each panel's own data range — multi-pair panels sharing one
+        # colorbar would then color identical values differently; an
+        # explicit shared level array keeps panels comparable
+        spectrogram_plot_kwargs.setdefault(
+            "levels", np.linspace(vmin, vmax, 15))
         spectrogram_plot_kwargs.setdefault("extend",
                                            "both" if spectrogram_db
                                            else "max")

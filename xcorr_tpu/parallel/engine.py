@@ -394,6 +394,22 @@ def _dataset_geometry(dataset):
     }
 
 
+def _canonical_prefix(spans, canonical_days: int, stride_s: float):
+    """True when a receiver's distinct task spans (ns-epoch ``(t0, t1)``
+    tuples) look like a prefix of a canonical chunk: equal lengths on a
+    uniform ``stride_s`` grid, at most ``canonical_days`` of them —
+    the span-level analogue of the periodicity ``_phantom_pad``
+    demands of launch groups."""
+    spans = sorted(spans)
+    if len(spans) > canonical_days:
+        return False
+    starts = [s0 for s0, _ in spans]
+    lens = {s1 - s0 for s0, s1 in spans}
+    gaps = {b - a for a, b in zip(starts, starts[1:])}
+    stride_ns = int(round(stride_s * 1e9))
+    return len(lens) == 1 and (not gaps or gaps == {stride_ns})
+
+
 def _phantom_pad(group, canonical_days: int, stride_s: float):
     """Pad a launch group of day-tasks to the canonical chunk size with
     PHANTOM tasks: copies of the last real task whose window offsets
@@ -564,13 +580,23 @@ def device_process_bulk(datasets, client, inventory=None,
             continue
         t1_grid = t1
         if canonical_days and canonical_stride_s:
-            # canonical grid: what a FULL chunk of canonical_days
-            # day-tasks would span from this t0 (exact equality for
-            # full contiguous chunks — the extension is then a no-op)
-            ext = t0 + pd.Timedelta(
-                seconds=(canonical_days - 1) * canonical_stride_s
-                + union_single[r])
-            t1_grid = max(t1, ext)
+            # extend ONLY when this receiver's task spans form a
+            # canonical-chunk prefix — equal-length spans on a uniform
+            # canonical-stride grid, at most canonical_days of them
+            # (the same periodicity _phantom_pad later demands). A
+            # sparse resume or a mixed-cadence chunk would pay the
+            # zero-fill h2d of a full-chunk grid while the phantom
+            # guard declines anyway (advisor r4).
+            if _canonical_prefix(union_spans[r], canonical_days,
+                                 canonical_stride_s):
+                # canonical grid: what a FULL chunk of canonical_days
+                # day-tasks would span from this t0 (exact equality
+                # for full contiguous chunks — the extension is then
+                # a no-op)
+                ext = t0 + pd.Timedelta(
+                    seconds=(canonical_days - 1) * canonical_stride_s
+                    + union_single[r])
+                t1_grid = max(t1, ext)
         caches["union"][r] = (t0, t1, t1_grid)
 
     def prep(job):
