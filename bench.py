@@ -539,6 +539,47 @@ def measure_e2e(small):
         except Exception as error:
             out["max_quantization_err"] = {"error": str(error)}
 
+        # ------- codec-OFF e2e parity vs the HOST-path oracle --------
+        # (VERDICT r4 ask #6) The codec-free campaign shard ("truth",
+        # XCORR_WIRE_PACK=0 — the path a real PCIe host runs) compared
+        # against the per-(pair,time) HOST engine's f64-numpy-fft
+        # recomputation of the same day: the measured production
+        # accuracy WITHOUT any wire quantization in the loop
+        # (BASELINE.md 1e-6 bar; ref accuracy model
+        # xcorr/util/cc.py:75-79).
+        try:
+            if not small:
+                import xcorr_tpu
+                t0d = pd.Timestamp(day0)
+                ds_h = xcorr_tpu.init(
+                    pair=pairs[0], starttime=t0d,
+                    endtime=t0d + pd.Timedelta("1D"), **init_args)
+                xcorr_tpu.process(ds_h, client=client, inventory=inv,
+                                  verb=0)
+                cc_t, st_t = _shard_cc(os.path.join(root, "truth"),
+                                       pairs[0], day0)
+                ok = (st_t == 1) & (ds_h["status"].values == 1)
+                if ok.any():
+                    a = cc_t[ok].astype(np.float64)
+                    b = ds_h["cc"].values[ok].astype(np.float64)
+                    max_abs = float(np.max(np.abs(a - b)))
+                    peak = float(np.max(np.abs(b)))
+                    cop = {
+                        "max_abs": round(max_abs, 12),
+                        "rel_vs_peak": round(max_abs / peak, 12)
+                        if peak else None,
+                        "windows_compared": int(ok.sum()),
+                        "covers": "device engine, f32 wire (codec "
+                                  "off) vs host f64-fft oracle",
+                    }
+                    out["codec_off_parity"] = cop
+                    out["codec_off_parity_max_abs"] = cop["max_abs"]
+                    _mark({"e2e": {
+                        "codec_off_parity": cop,
+                        "codec_off_parity_max_abs": cop["max_abs"]}})
+        except Exception as error:
+            out["codec_off_parity"] = {"error": str(error)}
+
         if not small:
           # fail-soft: the main campaign numbers above must survive a
           # fast-storage failure (the driver parses this artifact)

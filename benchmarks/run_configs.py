@@ -12,6 +12,7 @@ Configs (BASELINE.json):
   5. timelapse 2-D CC of spectrograms on the (time1, time2) plane
 """
 import argparse
+import contextlib
 import json
 import os
 import time
@@ -24,6 +25,44 @@ import numpy as np
 def _sync(x):
     np.asarray(x)
     return x
+
+
+@contextlib.contextmanager
+def _evidence(holder: dict):
+    """When XCORR_BENCH_EVIDENCE=1, run the wrapped measured region
+    under a jax.profiler trace and record device-busy seconds, launch
+    count and host process-CPU into ``holder`` (VERDICT r4 ask #4:
+    device evidence for the analysis configs, replacing the stale
+    round-2 wall-through-the-tunnel numbers)."""
+    if os.environ.get("XCORR_BENCH_EVIDENCE") != "1":
+        yield
+        return
+    import tempfile
+    from xcorr_tpu.util.profiler import parse_device_trace, trace
+    logdir = tempfile.mkdtemp(prefix="xc_evidence_")
+    c0 = time.process_time()
+    with trace(logdir):
+        yield
+    holder["host_cpu_s"] = round(time.process_time() - c0, 3)
+    holder.update(parse_device_trace(logdir) or {})
+
+
+def _project(res, evidence, items, unit):
+    """Real-TPU-host projection from the measured parts: the tunnel's
+    per-launch RTT + wire stalls vanish on PCIe, leaving
+    max(host CPU, device busy + launches x ~100us dispatch)."""
+    if not evidence or "device_busy_s" not in evidence:
+        if evidence:
+            res["device_evidence"] = evidence
+        return
+    proj_s = max(evidence.get("host_cpu_s", 0.0),
+                 evidence["device_busy_s"]
+                 + evidence["launches"] * 1e-4)
+    evidence["projected_real_host_s"] = round(proj_s, 3)
+    if proj_s > 0:
+        evidence["projected_real_host_value"] = round(items / proj_s, 3)
+        evidence["projected_unit"] = unit
+    res["device_evidence"] = evidence
 
 
 def bench_cc(small):
@@ -181,19 +220,23 @@ def bench_snr_ct(small):
     tmp = tempfile.mkdtemp()
     pairs, times, _ = _make_archive(tmp, ndays)
     fk = {"frequency": 0.5, "btype": "highpass", "order": 2}
+    ev = {}
     t0 = time.time()
-    out = [estimate_snr_for_day(
-        pairs, d, tmp, celerity=(1400.0, 9e7), filter_kwargs=fk,
-        attrs={"institution": "b", "author": "b", "source": "b"})
-        for d in times]
-    out = [o for o in out if o is not None]
-    merged = ndlabel.combine_by_coords(out)
-    ct = coincidence_trigger(merged["snr"], thr_on=0.01, dim="time")
+    with _evidence(ev):
+        out = [estimate_snr_for_day(
+            pairs, d, tmp, celerity=(1400.0, 9e7), filter_kwargs=fk,
+            attrs={"institution": "b", "author": "b", "source": "b"})
+            for d in times]
+        out = [o for o in out if o is not None]
+        merged = ndlabel.combine_by_coords(out)
+        ct = coincidence_trigger(merged["snr"], thr_on=0.01, dim="time")
     dt = time.time() - t0
     assert "nperiods" in ct.attrs
-    return {"config": "snr_ct",
-            "value": round(len(pairs) * ndays / dt, 3),
-            "unit": "pair-days/s (incl. IO)"}
+    res = {"config": "snr_ct",
+           "value": round(len(pairs) * ndays / dt, 3),
+           "unit": "pair-days/s (incl. IO)"}
+    _project(res, ev, len(pairs) * ndays, "pair-days/s")
+    return res
 
 
 def bench_beamform(small):
@@ -204,15 +247,19 @@ def bench_beamform(small):
     tmp = tempfile.mkdtemp()
     pairs, times, inv = _make_archive(tmp, ndays)
     fk = {"frequency": 0.5, "btype": "highpass", "order": 2}
+    ev = {}
     t0 = time.time()
-    done = 0
-    for d in times:
-        ds = beamform_day(pairs, d, tmp, inv, clim=(1400.0, 9e7),
-                          filter_kwargs=fk)
-        done += ds is not None
+    with _evidence(ev):
+        done = 0
+        for d in times:
+            ds = beamform_day(pairs, d, tmp, inv, clim=(1400.0, 9e7),
+                              filter_kwargs=fk)
+            done += ds is not None
     dt = time.time() - t0
-    return {"config": "beamform", "value": round(done / dt, 3),
-            "unit": "array-days/s (incl. IO)"}
+    res = {"config": "beamform", "value": round(done / dt, 3),
+           "unit": "array-days/s (incl. IO)"}
+    _project(res, ev, done, "array-days/s")
+    return res
 
 
 def bench_timelapse(small):
@@ -224,15 +271,19 @@ def bench_timelapse(small):
     tmp = tempfile.mkdtemp()
     pairs, times, _ = _make_archive(tmp, ndays)
     fk = {"frequency": 0.5, "btype": "highpass", "order": 2}
+    ev = {}
     t0 = time.time()
-    ds = timelapse(pairs[:1], pd.DatetimeIndex(times), tmp,
-                   freq_bands=((0.4, 1.0), (1.0, 2.0)),
-                   clim=(1400.0, 9e7), duration=10.0, filter_kwargs=fk,
-                   verb=0)
+    with _evidence(ev):
+        ds = timelapse(pairs[:1], pd.DatetimeIndex(times), tmp,
+                       freq_bands=((0.4, 1.0), (1.0, 2.0)),
+                       clim=(1400.0, 9e7), duration=10.0,
+                       filter_kwargs=fk, verb=0)
     dt = time.time() - t0
     cells = int((ds["status"].values > 0).sum())
-    return {"config": "timelapse", "value": round(cells / dt, 3),
-            "unit": "2D-CC cells/s (incl. IO)"}
+    res = {"config": "timelapse", "value": round(cells / dt, 3),
+           "unit": "2D-CC cells/s (incl. IO)"}
+    _project(res, ev, cells, "cells/s")
+    return res
 
 
 BENCHES = {
@@ -367,13 +418,27 @@ def main():
             except Exception:
                 pass
         for r in results:
-            merged[r["config"]] = r
+            prev = merged.get(r["config"])
+            if (prev is not None and r.get("device_evidence")
+                    and r.get("platform") not in (None, "cpu")
+                    and prev.get("platform") == "cpu"):
+                # a tpu evidence run measured THROUGH the tunnel: keep
+                # the cpu-policy headline, attach the device evidence
+                # (busy seconds, launches, real-host projection) plus
+                # the tunneled wall value to the existing record
+                prev["tpu_evidence"] = {
+                    "tunneled_value": r["value"], "unit": r["unit"],
+                    **r["device_evidence"]}
+                prev.pop("tunneled_tpu_measured", None)
+            else:
+                merged[r["config"]] = r
         for name, r in merged.items():
             # analysis configs measured on cpu carry the other
             # platform's same-session number so cross-round readers see
             # the policy discontinuity, not a phantom 50x optimization
             if (r.get("platform") == "cpu"
-                    and name in TUNNELED_TPU_MEASURED):
+                    and name in TUNNELED_TPU_MEASURED
+                    and "tpu_evidence" not in r):
                 r.setdefault("tunneled_tpu_measured",
                              TUNNELED_TPU_MEASURED[name])
         plat_set = {r.get("platform") for r in merged.values()

@@ -24,7 +24,7 @@ import threading
 import time
 from collections import defaultdict
 
-__all__ = ["StageTimer", "trace", "device_memory"]
+__all__ = ["StageTimer", "trace", "device_memory", "parse_device_trace"]
 
 
 class StageTimer:
@@ -138,6 +138,82 @@ def trace(logdir: str = "/tmp/xcorr_tpu_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def parse_device_trace(logdir: str):
+    """Device-busy seconds + launch count from the newest profiler
+    trace under ``logdir`` (written by :func:`trace`).
+
+    Reads the chrome-trace ``*.trace.json.gz``, finds the device
+    process lanes (process names carrying ``TPU``/``GPU``/``XLA Ops``;
+    the host python/thread lanes are excluded), and returns::
+
+        {"device_busy_s": <union of device-op intervals per lane>,
+         "launches": <number of device-lane op events>}
+
+    Busy time is the per-thread interval UNION, so nested/overlapping
+    trace spans (op groups containing per-op children) don't double
+    count. Returns ``None`` when no trace or no device lane is found.
+    """
+    import glob
+    import gzip
+    import os
+
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+
+    pid_name, tid_name = {}, {}
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
+            pid_name[ev.get("pid")] = ev.get("args", {}).get("name", "")
+        elif ev.get("name") == "thread_name":
+            tid_name[(ev.get("pid"), ev.get("tid"))] = \
+                ev.get("args", {}).get("name", "")
+    device_pids = {p for p, n in pid_name.items()
+                   if ("/device:" in n or "TPU" in n or "GPU" in n)
+                   and "host" not in n.lower()}
+    if not device_pids:
+        return None
+
+    def lane(pred):
+        spans = []
+        for ev in events:
+            if (ev.get("ph") == "X" and ev.get("pid") in device_pids
+                    and ev.get("dur", 0) > 0
+                    and pred(tid_name.get((ev["pid"], ev.get("tid")),
+                                          ""))):
+                t0 = float(ev["ts"])
+                spans.append((t0, t0 + float(ev["dur"])))
+        return spans
+
+    # "XLA Modules" carries ONE span per executable launch and covers
+    # its ops lane — the natural launch counter and busy measure; the
+    # per-op "XLA Ops" lane (which overlaps it) is the fallback
+    spans = lane(lambda n: n == "XLA Modules")
+    launches = len(spans)
+    if not spans:
+        spans = lane(lambda n: n.startswith("XLA Ops") or not n)
+        launches = len(spans)
+    if not spans:
+        return None
+    spans.sort()
+    busy_us, (cur0, cur1) = 0.0, spans[0]
+    for a, b in spans[1:]:
+        if a > cur1:
+            busy_us += cur1 - cur0
+            cur0, cur1 = a, b
+        else:
+            cur1 = max(cur1, b)
+    busy_us += cur1 - cur0
+    return {"device_busy_s": round(busy_us / 1e6, 6),
+            "launches": launches}
 
 
 def device_memory():
