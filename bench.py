@@ -701,6 +701,65 @@ def measure_mesh8(ndays=2, fs=6.25):
         return out
 
 
+def measure_mesh_day(ndevices=(2, 8)):
+    """ONE production-geometry campaign day (fs=50, 24 h windows,
+    21/24 overlap = 8 windows/pair-day) through multi-device CPU
+    meshes (VERDICT r4 ask #3): proves the sharded buffer shapes and
+    the collective path at the exact scale the v5e-8 north star
+    quotes — the largest geometry round 4 ever sharded was 1/8 of
+    this (mesh8 pinned to fs=6.25 after rendezvous SIGABRTs).
+
+    The CPU collective rendezvous F-check (abort unless every
+    participant arrives within 40 s) is a FALSE alarm on a 1-core host
+    running 8 shard programs sequentially; the parent raises it via
+    ``--xla_cpu_collective_call_terminate_timeout_seconds`` in this
+    child's XLA_FLAGS. Spec: the P1 path core/lazy.py ->
+    parallel/engine.py at scripts/cc.py-equivalent config
+    (xcorr/scripts/cc.py:25-115)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    _enable_compile_cache()
+    import pandas as pd
+    from xcorr_tpu import lazy_process
+    from xcorr_tpu.parallel import make_mesh
+
+    ndev_avail = len(jax.devices())
+    out = {"mesh_day": {
+        "geometry": "fs=50 Hz, 24 h windows, 21/24 overlap, "
+                    "8 windows/pair-day, 1 pair-day/pack",
+        "devices_available": ndev_avail}}
+    with tempfile.TemporaryDirectory() as root:
+        cfg = _e2e_setup(False, root, months=("2014-02-01",), ndays=1,
+                         fs=50.0)
+        _mark({"e2e": dict(out)})
+        times = pd.date_range("2014-02-01", periods=1, freq="1D")
+        for n in ndevices:
+            if n > ndev_avail:
+                out["mesh_day"][f"mesh{n}"] = {
+                    "status": "skipped", "reason": "too few devices"}
+                continue
+            t0 = time.time()
+            try:
+                results = lazy_process(
+                    cfg["pairs"], times, cfg["init_args"],
+                    cfg["client"], inventory=cfg["inv"],
+                    root=os.path.join(root, f"m{n}"), engine="device",
+                    days_per_launch=1, verb=0, mesh=make_mesh(n))
+                ok = sum(bool(r) for r in results)
+                out["mesh_day"][f"mesh{n}"] = {
+                    "status": "ok" if ok == len(results) else "partial",
+                    "completed": f"{ok}/{len(results)}",
+                    "wall_s": round(time.time() - t0, 1)}
+            except Exception as error:  # record, keep smaller meshes
+                out["mesh_day"][f"mesh{n}"] = {
+                    "status": "error",
+                    "error": f"{type(error).__name__}: {error}"[:300],
+                    "wall_s": round(time.time() - t0, 1)}
+            _mark({"e2e": dict(out)})
+    return out
+
+
 # ---------------------------------------------------------------------
 # section children (--section <name>)
 # ---------------------------------------------------------------------
@@ -800,6 +859,10 @@ def _section_reference(small):
 def _section_e2e(small):
     _enable_compile_cache()
     _mark({"e2e": measure_e2e(small)})
+
+
+def _section_mesh_day(small):
+    _mark({"e2e": measure_mesh_day()})
 
 
 def _section_mesh8(small):
@@ -1123,6 +1186,24 @@ class _Orchestrator:
                     "XCORR_WIRE_PACK": "0",
                 })
 
+        # 5b. production-geometry multi-device proof: one fs=50 day
+        # pack through 2- and 8-device CPU meshes with the collective
+        # rendezvous F-check timeout raised (the 40 s default is a
+        # false alarm on 1 core running shard programs sequentially)
+        if not small and "--no-e2e" not in self.argv:
+            self.run_section(
+                "meshday", min(900, self.remaining() - 45),
+                extra_env={
+                    "XLA_FLAGS":
+                        (os.environ.get("XLA_FLAGS", "") +
+                         " --xla_force_host_platform_device_count=8"
+                         " --xla_cpu_collective_call_terminate_timeout"
+                         "_seconds=900"
+                         " --xla_cpu_collective_call_warn_stuck_seconds"
+                         "=300").strip(),
+                    "XCORR_WIRE_PACK": "0",
+                })
+
         # 6. per-config results recorded by
         # `benchmarks/run_configs.py --save` (BASELINE.md's five
         # workloads), inlined so the driver artifact carries them
@@ -1148,7 +1229,7 @@ def main():
         small = ("--small" in argv
                  or os.environ.get("XCORR_BENCH_SMALL") == "1")
         plat = os.environ.get("XCORR_BENCH_PLATFORM")
-        if plat and name != "mesh8":  # mesh8 pins cpu itself
+        if plat and name not in ("mesh8", "meshday"):  # these pin cpu
             # config update (not the env var): the axon plugin ignores
             # JAX_PLATFORMS — lets the whole bench run offline on cpu
             import jax
@@ -1159,7 +1240,8 @@ def main():
          "sweep": lambda: _section_sweep(small),
          "reference": lambda: _section_reference(small),
          "e2e": lambda: _section_e2e(small),
-         "mesh8": lambda: _section_mesh8(small)}[name]()
+         "mesh8": lambda: _section_mesh8(small),
+         "meshday": lambda: _section_mesh_day(small)}[name]()
         return
 
     deadline = float(os.environ.get("XCORR_BENCH_DEADLINE", "2400"))
