@@ -1198,9 +1198,7 @@ class _Orchestrator:
                         (os.environ.get("XLA_FLAGS", "") +
                          " --xla_force_host_platform_device_count=8"
                          " --xla_cpu_collective_call_terminate_timeout"
-                         "_seconds=900"
-                         " --xla_cpu_collective_call_warn_stuck_seconds"
-                         "=300").strip(),
+                         "_seconds=900").strip(),
                     "XCORR_WIRE_PACK": "0",
                 })
 
