@@ -1045,12 +1045,23 @@ class _Orchestrator:
         e2e = a.get("e2e")
         if isinstance(e2e, dict):
             ratio = e2e.get("mesh8_host_cost_ratio")
+            # the production v5e-8 formation is 8 worker PROCESSES
+            # (P5 host_slice), so the measured 2-process worker/serial
+            # cost ratio is the right host scaler when present; the
+            # one-process-feeds-8-shards mesh8 ratio (noisier at
+            # steady-state magnitudes) is the fallback
+            scale2 = ((e2e.get("mesh8") or {}).get("host_scale_2proc")
+                      or {}).get("worker_over_serial")
             host = e2e.get("host_cpu_s_per_pair_day")
             proj = e2e.get("projected_pair_year_s_v5e8_pcie_host")
-            if ratio and host and proj:
+            use = scale2 or ratio
+            if use and host and proj:
                 tail = e2e.get("writer_drain_tail_s", 0.0)
-                m8 = host * ratio
+                m8 = host * use
                 e2e["mesh8_host_s_per_pair_day_scaled"] = round(m8, 3)
+                e2e["host_scale_source"] = (
+                    "worker_over_serial" if scale2 else
+                    "mesh8_host_cost_ratio")
                 e2e["projected_pair_year_s_v5e8_pcie_host"] = round(
                     max(proj, m8 * 366 / 8 + tail), 1)
 
@@ -1083,14 +1094,15 @@ class _Orchestrator:
         e2e = a.get("e2e") if isinstance(a.get("e2e"), dict) else {}
         fast = e2e.get("fast_storage") or {}
         ok = sum(1 for s in self.sections.values()
-                 if s.get("status") == "ok")
+                 if s.get("status") in ("ok", "cached"))
         comp = {
             "metric": a.get("metric"), "value": a.get("value"),
             "unit": a.get("unit"), "vs_baseline": a.get("vs_baseline"),
             "roofline_pct": a.get("roofline_pct"),
             "ms_per_batch_min": (a.get("ms_per_batch") or {}).get("min"),
-            "e2e_s_per_pair_day": e2e.get("s_per_pair_day"),
-            "fast_storage_s_per_pair_day": fast.get("s_per_pair_day"),
+            "e2e_s_per_pair_day": e2e.get("seconds_per_pair_day"),
+            "fast_storage_s_per_pair_day": fast.get(
+                "seconds_per_pair_day"),
             "pcie_pair_year_s": e2e.get(
                 "projected_pair_year_s_v5e8_pcie_host"),
             "mesh8_host_cost_ratio": e2e.get("mesh8_host_cost_ratio"),
