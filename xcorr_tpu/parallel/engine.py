@@ -728,7 +728,7 @@ def device_process_bulk(datasets, client, inventory=None,
             # so it cannot overlap a readback (measured a LOSS at
             # production shapes — see the xfer.py lock note — kept
             # opt-in for links where duplex contention dominates)
-            dev = util.xfer.ship_packed(host, sharding)
+            dev = util.xfer.ship_packed(host, sharding, timer=timer)
             while len(dev_stacks) >= 2:
                 dev_stacks.pop(next(iter(dev_stacks)))
             dev_stacks[key] = dev

@@ -293,7 +293,7 @@ def live_backend_tunneled() -> bool:
     return any(t in version for t in _TUNNELED_PLATFORMS)
 
 
-def ship_packed(host, sharding=None):
+def ship_packed(host, sharding=None, timer=None):
     """Host->device ship of a float32 array through the int16
     block-float wire codec (same policy/env as :func:`pack_for_wire`,
     h2d direction): per-row mean + scale computed on host, int16
@@ -314,33 +314,44 @@ def ship_packed(host, sharding=None):
     """
     if not _h2d_pack_engages(host):
         return device_ship(host, sharding)
+    import contextlib
     import jax
 
-    # single-pass row statistics, no array-sized temporaries: the host
-    # pathologically first-touches large fresh allocations (CLAUDE.md)
-    rows = host.reshape(-1, host.shape[-1])
-    n = rows.shape[-1]
-    mu = rows.mean(axis=-1, dtype=np.float64)
-    sumsq = np.einsum("ij,ij->i", rows, rows, dtype=np.float64)
-    var = np.maximum(sumsq / n - mu * mu, 0.0)
-    peak = np.maximum(rows.max(axis=-1) - mu, mu - rows.min(axis=-1))
-    finite = np.isfinite(mu) & np.isfinite(sumsq) & np.isfinite(peak)
-    # crest gate: rms==0 rows (all-constant) pack fine (peak==0 too)
-    crest_bad = peak > _PACK_CREST_MAX * np.sqrt(var)
-    if not finite.all() or (crest_bad & (var > 0)).any():
+    # the encode CPU is a TUNNEL-ONLY cost (the codec disengages on
+    # PCIe hosts): report it as its own stage so host-CPU projections
+    # can subtract it from the serial clamp
+    enc_timer = (timer("wire-encode") if timer is not None
+                 else contextlib.nullcontext())
+    with enc_timer:
+        # single-pass row statistics, no array-sized temporaries: the
+        # host pathologically first-touches large fresh allocations
+        # (CLAUDE.md)
+        rows = host.reshape(-1, host.shape[-1])
+        n = rows.shape[-1]
+        mu = rows.mean(axis=-1, dtype=np.float64)
+        sumsq = np.einsum("ij,ij->i", rows, rows, dtype=np.float64)
+        var = np.maximum(sumsq / n - mu * mu, 0.0)
+        peak = np.maximum(rows.max(axis=-1) - mu,
+                          mu - rows.min(axis=-1))
+        finite = np.isfinite(mu) & np.isfinite(sumsq) \
+            & np.isfinite(peak)
+        # crest gate: rms==0 rows (all-constant) pack fine (peak==0)
+        crest_bad = peak > _PACK_CREST_MAX * np.sqrt(var)
+        bail = not finite.all() or (crest_bad & (var > 0)).any()
+        if not bail:
+            scale = (np.where(peak > 0, peak, 1.0)
+                     / 32767.0).astype(np.float32)[:, None]
+            mu32 = mu.astype(np.float32)[:, None]
+            q = np.empty(rows.shape, np.int16)
+            buf = np.empty(n, np.float32)  # one reusable row temp
+            for i in range(rows.shape[0]):
+                np.subtract(rows[i], mu32[i, 0], out=buf)
+                np.divide(buf, scale[i, 0], out=buf)
+                np.rint(buf, out=buf)
+                np.clip(buf, -32767.0, 32767.0, out=buf)
+                q[i] = buf  # casts f32 -> int16 into the buffer
+    if bail:
         return device_ship(host, sharding)
-
-    scale = (np.where(peak > 0, peak, 1.0)
-             / 32767.0).astype(np.float32)[:, None]
-    mu32 = mu.astype(np.float32)[:, None]
-    q = np.empty(rows.shape, np.int16)
-    buf = np.empty(n, np.float32)  # one reusable row temp
-    for i in range(rows.shape[0]):
-        np.subtract(rows[i], mu32[i, 0], out=buf)
-        np.divide(buf, scale[i, 0], out=buf)
-        np.rint(buf, out=buf)
-        np.clip(buf, -32767.0, 32767.0, out=buf)
-        q[i] = buf  # casts f32 -> int16 into the existing buffer
 
     side_shape = host.shape[:-1] + (1,)
     qd = device_ship(q.reshape(host.shape), sharding)
