@@ -85,7 +85,10 @@ def _mark(d: dict):
 def _enable_compile_cache():
     # util.sysmem scopes the dir by the jaxlib build: AOT entries from
     # a different build crash on load (SIGILL-class; see sysmem
-    # docstring) — never share them
+    # docstring) — never share them. Default the dir when the caller
+    # didn't: without it the persistent cache silently disables and
+    # every section pays cold compiles (minutes through the tunnel)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     try:
         from xcorr_tpu.util.sysmem import enable_persistent_compile_cache
         enable_persistent_compile_cache()
@@ -865,6 +868,33 @@ def measure_mesh_day(ndevices=(2, 8)):
                     "error": f"{type(error).__name__}: {error}"[:300],
                     "wall_s": round(time.time() - t0, 1)}
             _mark({"e2e": dict(out)})
+        # cross-mesh VALUE parity: the same pair-day computed on the
+        # 2- and 8-device meshes must agree (different collective
+        # schedules reassociate f32 sums — record the actual diff,
+        # don't assume it)
+        try:
+            done = [n for n in ndevices
+                    if out["mesh_day"].get(f"mesh{n}", {}).get(
+                        "status") == "ok"]
+            if len(done) >= 2:
+                day = str(times[0].date())
+                a, sa = _shard_cc(os.path.join(root, f"m{done[0]}"),
+                                  cfg["pairs"][0], day)
+                b, sb = _shard_cc(os.path.join(root, f"m{done[-1]}"),
+                                  cfg["pairs"][0], day)
+                ok = (sa == 1) & (sb == 1)
+                if ok.any():
+                    diff = float(np.max(np.abs(
+                        a[ok].astype(np.float64)
+                        - b[ok].astype(np.float64))))
+                    out["mesh_day"]["cross_mesh_max_abs_diff"] = {
+                        f"mesh{done[0]}_vs_mesh{done[-1]}":
+                            round(diff, 12),
+                        "windows": int(ok.sum())}
+                    _mark({"e2e": dict(out)})
+        except Exception as error:
+            out["mesh_day"]["cross_mesh_max_abs_diff"] = {
+                "error": str(error)[:200]}
     return out
 
 
