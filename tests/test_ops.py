@@ -46,6 +46,23 @@ class TestCorrelate:
         with pytest.raises(ValueError, match="pre_padded_n"):
             ops.cc.correlate(x, x, pre_padded_n=128)
 
+    def test_precision_knob_validated(self, monkeypatch):
+        """The kernel precision knob (kwarg or XCORR_CC_PRECISION)
+        rejects bad values; valid values pass through on every path
+        (on the cpu monolithic path it is a no-op)."""
+        x = jnp.zeros((1, 64), jnp.float32)
+        with pytest.raises(ValueError, match="precision"):
+            ops.cc.correlate(x, x, precision="bogus")
+        monkeypatch.setenv("XCORR_CC_PRECISION", "nope")
+        with pytest.raises(ValueError, match="precision"):
+            ops.cc.correlate(x, x)
+        monkeypatch.setenv("XCORR_CC_PRECISION", "default")
+        r_env = np.asarray(ops.cc.correlate(x + 1.0, x + 1.0))
+        monkeypatch.delenv("XCORR_CC_PRECISION")
+        r_kw = np.asarray(ops.cc.correlate(x + 1.0, x + 1.0,
+                                           precision="default"))
+        np.testing.assert_array_equal(r_env, r_kw)
+
     def test_unnormalized_matches_npcorrelate(self):
         rng = np.random.default_rng(3)
         x = rng.normal(size=(1, 64))

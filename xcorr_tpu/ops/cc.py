@@ -23,6 +23,7 @@ TPU-first design decisions vs the reference:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -94,7 +95,8 @@ def preferred_padded_len(n: int):
 def correlate(x, y, *, normalize: bool = True, index_min: int = None,
               index_max: int = None, unbiased: bool = False,
               nfft: int = None, clip_weight: float = None,
-              method: str = "auto", pre_padded_n: int = None):
+              method: str = "auto", pre_padded_n: int = None,
+              precision: str = None):
     """Dispatch wrapper: monolithic kernel for small windows (and exact
     f64 oracle work), four-step pruned kernel for day-scale windows on
     accelerators. ``method``: 'auto' | 'monolithic' | 'fourstep'.
@@ -104,7 +106,22 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
     (``ops.fft4.padded_len(pre_padded_n)`` samples, tail zero) — the
     kernel then skips its zero-extension pass. Paths that cannot consume
     padded inputs trim back to ``pre_padded_n`` first.
+
+    ``precision`` (four-step path only): ``'high'`` (default — bf16
+    hi/lo expansion, 6e-8 max err vs f64, the 1e-6 parity bar),
+    ``'default'`` (native bf16 MXU passes — measured 1.57x faster at
+    ~1.3e-5 max deviation; the speed knob for error-tolerant scans),
+    ``'high3'``/``'highest'``. ``None`` reads ``XCORR_CC_PRECISION``
+    (same values) so production campaigns — ``xcorr-cc
+    --cc-precision`` — select it without plumbing; the monolithic
+    XLA-FFT path is unaffected (its transforms are not MXU matmuls).
     """
+    if precision is None:
+        precision = os.environ.get("XCORR_CC_PRECISION") or "high"
+    if precision not in ("default", "high", "high3", "highest"):
+        raise ValueError(
+            f"precision={precision!r}: expected default|high|high3|"
+            "highest")
     n = x.shape[-1] if pre_padded_n is None else int(pre_padded_n)
     if pre_padded_n is not None and x.shape[-1] < n:
         # the four-step branch validates the exact padded geometry; the
@@ -138,12 +155,14 @@ def correlate(x, y, *, normalize: bool = True, index_min: int = None,
         try:
             fn = plan_correlate4(n, index_min, index_max,
                                  normalize=normalize, stageb=stageb,
+                                 precision=precision,
                                  pre_padded=pre_padded_n is not None)
         except ValueError:  # geometry unsupported by the fused kernel
             if pre_padded_n is not None:  # fft plan pads differently
                 x, y = x[..., :n], y[..., :n]
             fn = plan_correlate4(n, index_min, index_max,
-                                 normalize=normalize)
+                                 normalize=normalize,
+                                 precision=precision)
         return fn(x, y)
     if pre_padded_n is not None:
         x, y = x[..., :n], y[..., :n]

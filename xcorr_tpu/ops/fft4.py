@@ -324,6 +324,7 @@ def plan_correlate4(n: int, index_min: int = None, index_max: int = None,
     # complex operands; these paths have no pallas-layout interaction)
     prec = {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
+            "high3": jax.lax.Precision.HIGH,  # kernel-only alias
             "highest": jax.lax.Precision.HIGHEST}[precision]
 
     # constants stay host-side as float32 pairs: some PJRT backends

@@ -11,6 +11,7 @@ distances), client args, receiver pairs and the period, handed to
 from __future__ import annotations
 
 import argparse
+import os
 
 import pandas as pd
 
@@ -139,8 +140,17 @@ def main(argv=None):
     parser.add_argument("--complevel", metavar="N", type=int, default=1,
                         help="zlib level for shard variables (default 1; "
                              "9 restores the reference's storage config)")
+    parser.add_argument("--cc-precision", metavar="..", type=str,
+                        default=None,
+                        choices=("default", "high", "high3", "highest"),
+                        help="device CC kernel precision: 'high' "
+                             "(default, 6e-8 vs f64) or 'default' "
+                             "(native bf16 MXU — ~1.6x faster at "
+                             "~1.3e-5 max deviation)")
     utils.add_common_arguments(parser)
     args = parser.parse_args(argv)
+    if args.cc_precision:
+        os.environ["XCORR_CC_PRECISION"] = args.cc_precision
 
     log = utils.init_logging(args.debug)
     cfg = utils.init_compute(args)
