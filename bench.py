@@ -1211,6 +1211,8 @@ class _Orchestrator:
             "pcie_pair_year_s": e2e.get(
                 "projected_pair_year_s_v5e8_pcie_host"),
             "mesh8_host_cost_ratio": e2e.get("mesh8_host_cost_ratio"),
+            "worker_over_serial": ((e2e.get("mesh8") or {}).get(
+                "host_scale_2proc") or {}).get("worker_over_serial"),
             "codec_off_parity_max_abs": e2e.get(
                 "codec_off_parity_max_abs"),
             "sections_ok": f"{ok}/{len(self.sections)}",
