@@ -431,6 +431,11 @@ def main():
                     **r["device_evidence"]}
                 prev.pop("tunneled_tpu_measured", None)
             else:
+                if (prev is not None and "tpu_evidence" in prev
+                        and "tpu_evidence" not in r):
+                    # a refreshed cpu headline must not drop the
+                    # previously captured device evidence
+                    r["tpu_evidence"] = prev["tpu_evidence"]
                 merged[r["config"]] = r
         for name, r in merged.items():
             # analysis configs measured on cpu carry the other
