@@ -599,26 +599,39 @@ def measure_e2e(small):
         # ------- codec-OFF e2e parity vs the HOST-path oracle --------
         # (VERDICT r4 ask #6) The codec-free campaign shard ("truth",
         # XCORR_WIRE_PACK=0 — the path a real PCIe host runs) compared
-        # against the per-(pair,time) HOST engine's f64-numpy-fft
-        # recomputation of the same day: the measured production
-        # accuracy WITHOUT any wire quantization in the loop
+        # against a SUBPROCESS oracle on the cpu x64 backend: host
+        # per-trace preprocess + monolithic f64-FFT correlate — a
+        # genuinely independent recomputation with no device kernel,
+        # no wire codec and no f32 FFT anywhere in its path
         # (BASELINE.md 1e-6 bar; ref accuracy model
-        # xcorr/util/cc.py:75-79).
+        # xcorr/util/cc.py:75-79). An in-process oracle would run the
+        # SAME device kernel through the re-engaged codec (review r5).
         try:
             if not small:
-                import xcorr_tpu
-                t0d = pd.Timestamp(day0)
-                ds_h = xcorr_tpu.init(
-                    pair=pairs[0], starttime=t0d,
-                    endtime=t0d + pd.Timedelta("1D"), **init_args)
-                xcorr_tpu.process(ds_h, client=client, inventory=inv,
-                                  verb=0)
+                oracle_out = os.path.join(root, "oracle_shard.nc")
+                env = dict(os.environ)
+                env["XCORR_E2E_ORACLE"] = json.dumps({
+                    "root": root, "day": day0, "ndays": ndays,
+                    "fs": fs, "out": oracle_out})
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--oracle-child"], env=env, capture_output=True,
+                    text=True, timeout=900)
+                marked = any(ln.startswith(_MARK) for ln in
+                             (p.stdout or "").splitlines())
+                if p.returncode != 0 or not marked \
+                        or not os.path.exists(oracle_out):
+                    raise RuntimeError(
+                        f"oracle child rc={p.returncode}: "
+                        f"{(p.stderr or '')[-300:]}")
+                from xcorr_tpu.io.read import read as _read_nc
+                ds_o = _read_nc(oracle_out, fast=True, verb=0)
                 cc_t, st_t = _shard_cc(os.path.join(root, "truth"),
                                        pairs[0], day0)
-                ok = (st_t == 1) & (ds_h["status"].values == 1)
+                ok = (st_t == 1) & (ds_o["status"].values == 1)
                 if ok.any():
                     a = cc_t[ok].astype(np.float64)
-                    b = ds_h["cc"].values[ok].astype(np.float64)
+                    b = ds_o["cc"].values[ok].astype(np.float64)
                     max_abs = float(np.max(np.abs(a - b)))
                     peak = float(np.max(np.abs(b)))
                     cop = {
@@ -627,7 +640,8 @@ def measure_e2e(small):
                         if peak else None,
                         "windows_compared": int(ok.sum()),
                         "covers": "device engine, f32 wire (codec "
-                                  "off) vs host f64-fft oracle",
+                                  "off) vs cpu-x64 host-engine "
+                                  "f64-fft subprocess oracle",
                     }
                     out["codec_off_parity"] = cop
                     out["codec_off_parity_max_abs"] = cop["max_abs"]
@@ -636,6 +650,7 @@ def measure_e2e(small):
                         "codec_off_parity_max_abs": cop["max_abs"]}})
         except Exception as error:
             out["codec_off_parity"] = {"error": str(error)}
+            _mark({"e2e": {"codec_off_parity": out["codec_off_parity"]}})
 
         if not small:
           # fail-soft: the main campaign numbers above must survive a
@@ -787,7 +802,7 @@ def measure_mesh8(ndays=2, fs=6.25):
         # the per-chunk half-window overhang over fewer days and read
         # as fake superlinearity — measured 1.56x at 1-day slices.)
         try:
-            kids = []
+            kids, child_errors = [], []
             times2 = pd.date_range("2014-03-01", periods=ndays,
                                    freq="1D")
             slices = [[str(t) for t in times],
@@ -801,13 +816,25 @@ def measure_mesh8(ndays=2, fs=6.25):
                     [sys.executable, os.path.abspath(__file__),
                      "--mesh8-child"], env=env, capture_output=True,
                     text=True, timeout=420)
+                got = False
                 for line in (p.stdout or "").splitlines():
                     if line.startswith(_MARK):
                         kids.append(json.loads(line[len(_MARK):]))
+                        got = True
+                if p.returncode != 0 or not got:
+                    # a silently failed worker must leave evidence —
+                    # the scaler otherwise falls back to the noisier
+                    # mesh8 ratio with nothing explaining why
+                    child_errors.append(
+                        f"c{ci}: rc={p.returncode} "
+                        f"{(p.stderr or '')[-200:]}")
+            if child_errors:
+                out["mesh8"].setdefault("host_scale_2proc", {})[
+                    "child_errors"] = child_errors
             vals = [k["host_cpu_s_per_pair_day"] for k in kids
                     if "host_cpu_s_per_pair_day" in k]
             if vals and host_pd.get("single"):
-                out["mesh8"]["host_scale_2proc"] = {
+                out["mesh8"].setdefault("host_scale_2proc", {}).update({
                     "serial_s_per_pair_day": round(host_pd["single"],
                                                    3),
                     "workers_s_per_pair_day": [round(v, 3)
@@ -817,11 +844,38 @@ def measure_mesh8(ndays=2, fs=6.25):
                     # embarrassingly parallel across processes
                     "worker_over_serial": round(
                         max(vals) / host_pd["single"], 3)
-                    if host_pd["single"] else None}
+                    if host_pd["single"] else None})
                 _mark({"e2e": dict(out)})
         except Exception as error:
             out["mesh8"]["host_scale_2proc"] = {"error": str(error)}
         return out
+
+
+def _e2e_oracle_child():
+    """CPU x64 HOST-engine oracle for the codec-off parity comparison:
+    pins the cpu backend via config update (the axon plugin ignores
+    the env var — CLAUDE.md accuracy-check trap) and enables x64 so
+    the synthetic day flows f64 through the host per-trace preprocess
+    and the monolithic f64-FFT correlate (ops.cc dispatches monolithic
+    on the cpu backend). Writes the day's shard for the parent to
+    compare against the codec-off device campaign."""
+    spec = json.loads(os.environ["XCORR_E2E_ORACLE"])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import pandas as pd
+    import xcorr_tpu
+
+    cfg = _e2e_setup(False, spec["root"], months=(),
+                     ndays=spec["ndays"], fs=spec["fs"])
+    t0d = pd.Timestamp(spec["day"])
+    ds = xcorr_tpu.init(pair=cfg["pairs"][0], starttime=t0d,
+                        endtime=t0d + pd.Timedelta("1D"),
+                        **cfg["init_args"])
+    xcorr_tpu.process(ds, client=cfg["client"], inventory=cfg["inv"],
+                      verb=0)
+    xcorr_tpu.write(ds, spec["out"], verb=0)
+    _mark({"oracle_windows": int((ds["status"].values == 1).sum())})
 
 
 def _mesh8_host_child():
@@ -1161,6 +1215,13 @@ class _Orchestrator:
             proj = e2e.get("projected_pair_year_s_v5e8_pcie_host")
             use = scale2 or ratio
             if use and host and proj:
+                # clamp from the e2e section's RAW projection, not the
+                # previously clamped value: derive() runs on every
+                # marker merge, and an early mesh8-ratio clamp must be
+                # superseded — not floored — when the preferred
+                # worker_over_serial scaler arrives later
+                base = e2e.setdefault(
+                    "projected_pair_year_s_v5e8_pcie_host_raw", proj)
                 tail = e2e.get("writer_drain_tail_s", 0.0)
                 m8 = host * use
                 e2e["mesh8_host_s_per_pair_day_scaled"] = round(m8, 3)
@@ -1168,7 +1229,7 @@ class _Orchestrator:
                     "worker_over_serial" if scale2 else
                     "mesh8_host_cost_ratio")
                 e2e["projected_pair_year_s_v5e8_pcie_host"] = round(
-                    max(proj, m8 * 366 / 8 + tail), 1)
+                    max(base, m8 * 366 / 8 + tail), 1)
 
     def write_partial(self):
         try:
@@ -1222,11 +1283,19 @@ class _Orchestrator:
         if a.get("error"):
             comp["error"] = str(a["error"])[:300]
         comp = {k: v for k, v in comp.items() if v is not None}
-        line = json.dumps(comp)
-        if len(line) > 1000:  # belt-and-braces: never outgrow the tail
-            for k in ("detail", "codec_off_parity_max_abs",
-                      "mesh8_host_cost_ratio", "ms_per_batch_min"):
-                comp.pop(k, None)
+        # belt-and-braces: the <1 KB bound is the whole point (the
+        # driver's 2000-char stdout tail) — drop optional fields until
+        # it HOLDS, 'detail' (the pointer to the full artifact) last
+        for k in ("codec_off_parity_max_abs", "worker_over_serial",
+                  "mesh8_host_cost_ratio", "ms_per_batch_min",
+                  "fast_storage_s_per_pair_day", "pcie_pair_year_s",
+                  "elapsed_s", "detail"):
+            if len(json.dumps(comp)) <= 1000:
+                break
+            comp.pop(k, None)
+        if len(json.dumps(comp)) > 1000 and "error" in comp:
+            # never DROP the failure signal; shorten it
+            comp["error"] = comp["error"][:100]
         return comp
 
     # -- signals ----------------------------------------------------
@@ -1443,6 +1512,10 @@ def main():
     if "--mesh8-child" in argv:
         _heap_reuse()
         _mesh8_host_child()
+        return
+    if "--oracle-child" in argv:
+        _heap_reuse()
+        _e2e_oracle_child()
         return
     if "--section" in argv:
         # child mode: run one measurement section, stream markers.

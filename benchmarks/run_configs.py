@@ -37,14 +37,18 @@ def _evidence(holder: dict):
     if os.environ.get("XCORR_BENCH_EVIDENCE") != "1":
         yield
         return
+    import shutil
     import tempfile
     from xcorr_tpu.util.profiler import parse_device_trace, trace
     logdir = tempfile.mkdtemp(prefix="xc_evidence_")
-    c0 = time.process_time()
-    with trace(logdir):
-        yield
-    holder["host_cpu_s"] = round(time.process_time() - c0, 3)
-    holder.update(parse_device_trace(logdir) or {})
+    try:
+        c0 = time.process_time()
+        with trace(logdir):
+            yield
+        holder["host_cpu_s"] = round(time.process_time() - c0, 3)
+        holder.update(parse_device_trace(logdir) or {})
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
 
 
 def _project(res, evidence, items, unit):
@@ -436,6 +440,14 @@ def main():
                     # a refreshed cpu headline must not drop the
                     # previously captured device evidence
                     r["tpu_evidence"] = prev["tpu_evidence"]
+                if (prev is None and r.get("device_evidence")
+                        and r.get("platform") not in (None, "cpu")):
+                    # evidence run with no cpu headline to attach to
+                    # (fresh/corrupt results file): never present the
+                    # tunneled wall as a policy headline
+                    r["note"] = ("tunneled-wall evidence run; the "
+                                 "policy headline (cpu backend) has "
+                                 "not been recorded yet")
                 merged[r["config"]] = r
         for name, r in merged.items():
             # analysis configs measured on cpu carry the other

@@ -219,9 +219,15 @@ def _spectrogram_panel(ax, cc, time, normalize, lag_lim, freq_lim,
         # an integer levels default would derive contour values from
         # each panel's own data range — multi-pair panels sharing one
         # colorbar would then color identical values differently; an
-        # explicit shared level array keeps panels comparable
-        spectrogram_plot_kwargs.setdefault(
-            "levels", np.linspace(vmin, vmax, 15))
+        # explicit shared level array keeps panels comparable. A
+        # degenerate range (all-zero panel: vmin == vmax) would make
+        # contourf raise 'levels must be increasing' — fall back to
+        # matplotlib's locator there
+        if np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin:
+            spectrogram_plot_kwargs.setdefault(
+                "levels", np.linspace(vmin, vmax, 15))
+        else:
+            spectrogram_plot_kwargs.setdefault("levels", 15)
         spectrogram_plot_kwargs.setdefault("extend",
                                            "both" if spectrogram_db
                                            else "max")

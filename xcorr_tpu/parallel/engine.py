@@ -35,6 +35,7 @@ substitution.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import warnings
 from concurrent.futures import ThreadPoolExecutor
@@ -72,11 +73,16 @@ def _get_pipeline(ops_a, ops_b, span_a, fs_a, span_b, fs_b,
     # grid, invariant to what the archive returned), so the key — and
     # the compiled executable, in-process and in the persistent
     # cache — repeats chunk-over-chunk and across worker processes
+    # the CC precision env is read at TRACE time inside the jitted
+    # step (ops.cc.correlate) — it must key the cache, or a process
+    # that switches XCORR_CC_PRECISION would silently reuse a pipeline
+    # traced at the other precision
     key = (json.dumps(ops_a), json.dumps(ops_b), span_a, fs_a,
            span_b, fs_b, tuple(offsets_a), tuple(offsets_b),
            npts_raw_a, npts_raw_b, npts, imin, imax, normalize,
            _response_key(resp_a), _response_key(resp_b), buf_out,
-           mesh_fingerprint(mesh))
+           mesh_fingerprint(mesh),
+           os.environ.get("XCORR_CC_PRECISION") or "high")
     with _pipeline_lock:
         pipe = _pipeline_cache.get(key)
         if pipe is None:
