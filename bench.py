@@ -1472,7 +1472,14 @@ class _Orchestrator:
                     "XLA_FLAGS":
                         (os.environ.get("XLA_FLAGS", "") +
                          " --xla_force_host_platform_device_count=8"
-                         ).strip(),
+                         # raise the collective rendezvous F-check
+                         # (40 s default): on a loaded 1-core host
+                         # even the fs=6.25 shard programs can arrive
+                         # >40 s apart (SIGABRT observed r5 on a
+                         # contended run; a false alarm, as meshday
+                         # proves at fs=50)
+                         " --xla_cpu_collective_call_terminate_timeout"
+                         "_seconds=900").strip(),
                     # mesh8 must not inherit a forced wire codec
                     "XCORR_WIRE_PACK": "0",
                 })
